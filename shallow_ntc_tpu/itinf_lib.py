@@ -1,0 +1,210 @@
+"""Iterative inference (SGA encoding) as a jitted on-device scan.
+
+TPU-native re-design of /root/reference/common/itinf_lib.py. The reference
+runs 3000 Python-side optimizer steps per batch, each a tf.function call
+(itinf_lib.py:48-67). Here the whole SGA optimization is a single
+jax.lax.scan over the latents pytree: the latent variables are the carried
+state, optax.adam updates them on device, and the SGA temperature schedule is
+computed from the (traced) scan step -- zero host round-trips inside the hot
+loop. The scan is chunked into eval segments so periodic validation metrics
+match the reference's cadence (itinf_lib.py:69-86).
+"""
+
+import os
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import logging
+
+from shallow_ntc_tpu import train_lib
+from shallow_ntc_tpu.models import base as models_base
+from shallow_ntc_tpu.utils import runname as runname_utils
+from shallow_ntc_tpu.utils import writers as writers_lib
+
+
+def make_itinf_functions(model, optimizer_config, num_steps: int):
+  """Build (init_fn, scan_fn, eval_fn) for SGA optimization of latents.
+
+  init_fn(params, batch, rng)         -> (latents, opt_state)
+  scan_fn(params, batch, latents, opt_state, start_step, n, rng)
+                                       -> (latents, opt_state, metrics_seq)
+  eval_fn(params, batch, latents, step)-> metrics dict (training=False)
+  """
+  tx, lr_fn = train_lib.make_optimizer(optimizer_config, num_steps)
+  model_cls = type(model)
+
+  def init_fn(params, batch):
+    latents = model.apply(
+        {"params": params}, batch, method=model_cls.infer_latent_rvs
+    )
+    return latents, tx.init(latents)
+
+  def loss_fn(latents, params, batch, rng, step):
+    loss, metrics, _ = model.apply(
+        {"params": params},
+        batch,
+        latents,
+        training=True,
+        rng=rng,
+        step=step,
+        itinf=True,
+        method=model_cls.frame_loss_given_latent_rvs,
+    )
+    return loss, metrics
+
+  def scan_fn(params, batch, latents, opt_state, start_step, n_steps, rng):
+    def body(carry, i):
+      latents, opt_state = carry
+      step = start_step + i
+      step_rng = jax.random.fold_in(rng, step)
+      (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+          latents, params, batch, step_rng, step
+      )
+      updates, opt_state = tx.update(grads, opt_state, latents)
+      latents = jax.tree_util.tree_map(
+          lambda p, u: p + u, latents, updates
+      )
+      metrics["scheduled_lr"] = lr_fn(step)
+      return (latents, opt_state), metrics
+
+    (latents, opt_state), metrics_seq = jax.lax.scan(
+        body, (latents, opt_state), jnp.arange(n_steps)
+    )
+    return latents, opt_state, metrics_seq
+
+  def eval_fn(params, batch, latents, step):
+    _, metrics, rec = model.apply(
+        {"params": params},
+        batch,
+        latents,
+        training=False,
+        rng=None,
+        step=step,
+        itinf=True,
+        method=model_cls.frame_loss_given_latent_rvs,
+    )
+    return metrics, rec
+
+  return init_fn, scan_fn, eval_fn
+
+
+def itinf_on_data_batch(
+    model,
+    params,
+    data_batch,
+    train_eval_config: Mapping[str, Any],
+    optimizer_config: Mapping[str, Any],
+    workdir: Optional[str] = None,
+    seed: int = 0,
+):
+  """Optimize latents for one batch (reference itinf_lib.py:26-93).
+
+  Returns (train_metrics, val_metrics, itinf_vars) where itinf_vars is a dict
+  of final latent arrays (numpy), matching the reference's npz payload.
+  """
+  cfg = dict(train_eval_config)
+  num_steps = cfg.get("num_steps", 3000)
+  log_every = cfg.get("log_metrics_every_steps", 100)
+  eval_every = cfg.get("eval_every_steps", 200)
+
+  writer = None
+  val_writer = None
+  if workdir:
+    writer = writers_lib.create_default_writer(workdir, collection="train")
+    val_writer = writers_lib.create_default_writer(workdir, collection="val")
+
+  init_fn, scan_fn, eval_fn = make_itinf_functions(
+      model, optimizer_config, num_steps
+  )
+  init_jit = jax.jit(init_fn)
+  scan_jit = jax.jit(scan_fn, static_argnames=("n_steps",))
+  eval_jit = jax.jit(eval_fn)
+
+  rng = jax.random.PRNGKey(seed)
+  batch = jnp.asarray(data_batch)
+  latents, opt_state = init_jit(params, batch)
+
+  step = 0
+  last_train_metrics = None
+  last_val_metrics = None
+  while step < num_steps:
+    seg = min(eval_every, num_steps - step)
+    latents, opt_state, metrics_seq = scan_jit(
+        params, batch, latents, opt_state, step, n_steps=seg, rng=rng
+    )
+    metrics_seq = jax.device_get(metrics_seq)
+    if writer is not None:
+      for i in range(log_every - 1, seg, log_every):
+        writer.write_scalars(
+            step + i + 1, {k: float(v[i]) for k, v in metrics_seq.items()}
+        )
+    step += seg
+    last_train_metrics = {k: float(v[-1]) for k, v in metrics_seq.items()}
+    val_metrics, _ = eval_jit(params, batch, latents, step)
+    last_val_metrics = {k: float(v) for k, v in jax.device_get(val_metrics).items()}
+    if val_writer is not None:
+      val_writer.write_scalars(step, last_val_metrics)
+
+  if writer is not None:
+    writer.flush()
+    val_writer.flush()
+
+  itinf_vars = {
+      f"uq_{i}_loc": np.asarray(jax.device_get(rv.loc))
+      for i, rv in enumerate(latents.uq)
+  }
+  return last_train_metrics, last_val_metrics, itinf_vars
+
+
+def itinf_eval(
+    config,
+    model_family: str,
+    experiments_dir: str,
+    runname: str,
+    config_script: Optional[str] = None,
+):
+  """Driver: load warm-start checkpoint, run SGA per batch, dump results.
+
+  Mirrors reference itinf_lib.py:99-209 (bookkeeping, per-batch workdirs,
+  metrics.json + itinf_vars.npz).
+  """
+  from shallow_ntc_tpu import data as data_lib
+  from shallow_ntc_tpu import eval_lib
+
+  cfg = models_base.to_plain_dict(config)
+  te_cfg = dict(cfg["train_eval_config"])
+
+  workdir = train_lib.setup_workdir(config, experiments_dir, runname, config_script)
+  logging.get_absl_handler().use_absl_log_file("itinf", workdir)
+
+  warm_dir = te_cfg.get("warm_start_exp_dir")
+  warm_wid = te_cfg.get("warm_start_wid", 0)
+  model, params, train_config = eval_lib.load_latest_ckpt_from_experiment(
+      warm_dir, warm_wid, model_family=model_family,
+      update_model_config=cfg.get("model_config"),
+  )
+  optimizer_config = dict(cfg.get("model_config", {}).get("optimizer_config", {}))
+
+  data_cfg = dict(cfg["data_config"])
+  dataset = data_lib.get_dataset(
+      data_cfg["dataset"], "test", data_cfg["batchsize"], data_cfg.get("patchsize")
+  )
+
+  all_metrics = []
+  for batch_id, batch in enumerate(dataset):
+    batch_dir = os.path.join(workdir, f"batch_id={batch_id}")
+    os.makedirs(batch_dir, exist_ok=True)
+    train_m, val_m, itinf_vars = itinf_on_data_batch(
+        model, params, batch, te_cfg, optimizer_config, workdir=batch_dir
+    )
+    runname_utils.dump_json(
+        {"train": train_m, "val": val_m}, os.path.join(batch_dir, "metrics.json")
+    )
+    np.savez(os.path.join(batch_dir, "itinf_vars.npz"), **itinf_vars)
+    all_metrics.append({"batch_id": batch_id, **(val_m or {})})
+    logging.info("itinf batch %d: %s", batch_id, val_m)
+
+  runname_utils.dump_json(all_metrics, os.path.join(workdir, "metrics.json"))
+  return workdir, all_metrics

@@ -1,0 +1,145 @@
+"""End-to-end slice: config -> train loop -> orbax ckpt -> eval -> itinf.
+
+Mirrors SURVEY.md section 7 step 4 (the milestone slice) and section 4's
+integration-test recommendation (smoke train on synthetic data).
+"""
+
+import glob
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from shallow_ntc_tpu import data as data_lib
+from shallow_ntc_tpu import eval_lib
+from shallow_ntc_tpu import itinf_lib
+from shallow_ntc_tpu import train_lib
+
+TINY_MODEL_CONFIG = dict(
+    scheduled_num_steps=30,
+    rd_lambda=0.01,
+    optimizer_config=dict(learning_rate=1e-3, warmup_until=0.0, global_clipnorm=1.0),
+    transform_config=dict(
+        analysis=dict(cls="CNNAnalysis", channels_base=8, output_channels=12),
+        synthesis=dict(cls="TwoLayerSynthesis", channels=(6, 3), strides=(8, 2),
+                       kernel_sizes=(13, 5)),
+        hyper_analysis=dict(cls="HyperAnalysisSmall", bottleneck_size=12),
+        hyper_synthesis=dict(cls="HyperSynthesisSmall", bottleneck_size=12),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def trained_workdir(tmp_path_factory):
+  """Run the full train_and_eval entry on synthetic data."""
+  exp_dir = str(tmp_path_factory.mktemp("train_xms"))
+  config = dict(
+      model_family="mshyper",
+      train_data_config=dict(dataset="synthetic", batchsize=2, patchsize=64),
+      val_data_config=dict(dataset="synthetic", batchsize=2, patchsize=64),
+      train_eval_config=dict(
+          num_steps=12,
+          log_metrics_every_steps=4,
+          checkpoint_every_steps=6,
+          eval_every_steps=6,
+          max_validation_steps=2,
+      ),
+      model_config=TINY_MODEL_CONFIG,
+  )
+  os.environ["SLURM_ARRAY_JOB_ID"] = "777"
+  os.environ["SLURM_ARRAY_TASK_ID"] = "0"
+  try:
+    state, workdir = train_lib.train_and_eval(
+        config, "mshyper", exp_dir, runname="mshyper-lmbda=0.01-test"
+    )
+  finally:
+    del os.environ["SLURM_ARRAY_JOB_ID"]
+    del os.environ["SLURM_ARRAY_TASK_ID"]
+  return workdir, state
+
+
+def test_train_produces_bookkeeping(trained_workdir):
+  workdir, state = trained_workdir
+  assert int(state.step) == 12
+  assert os.path.exists(os.path.join(workdir, "config.json"))
+  assert os.path.exists(os.path.join(workdir, "run_info.json"))
+  assert glob.glob(os.path.join(workdir, "train", "checkpoints", "*"))
+  # JSONL metrics written
+  rec = os.path.join(workdir, "train", "record.jsonl")
+  assert os.path.exists(rec)
+  lines = [json.loads(l) for l in open(rec)]
+  assert any("rd_loss" in l for l in lines)
+  assert workdir.endswith("wid=0-mshyper-lmbda=0.01-test")
+  assert os.sep + "777" + os.sep in workdir
+
+
+def test_eval_workdir(trained_workdir, tmp_path):
+  workdir, _ = trained_workdir
+  eval_data = data_lib.SyntheticDataset(1, 64, num_batches=2)
+  results_dir = str(tmp_path / "json_results")
+  path = eval_lib.eval_workdir(
+      workdir, eval_data, "synthetic", results_dir, model_family="mshyper"
+  )
+  results = json.load(open(path))
+  assert len(results) == 2
+  for r in results:
+    assert {"bpp", "psnr", "msssim", "instance_id"} <= set(r)
+    assert np.isfinite(r["bpp"]) and r["bpp"] > 0
+  # skip_existing short-circuits
+  path2 = eval_lib.eval_workdir(
+      workdir, eval_data, "synthetic", results_dir, skip_existing=True,
+      model_family="mshyper",
+  )
+  assert path2 == path
+
+
+def test_checkpoint_resume(trained_workdir):
+  workdir, state = trained_workdir
+  model, params, config = eval_lib.load_latest_ckpt(workdir, "mshyper")
+  orig = jax.device_get(state.params)
+  restored = jax.device_get(params)
+  leaves_o = jax.tree_util.tree_leaves(orig)
+  leaves_r = jax.tree_util.tree_leaves(restored)
+  assert len(leaves_o) == len(leaves_r)
+  for a, b in zip(leaves_o, leaves_r):
+    np.testing.assert_allclose(a, b)
+
+
+def test_warm_start_resolution(trained_workdir):
+  workdir, _ = trained_workdir
+  ckpt = os.path.join(workdir, "train", "checkpoints")
+  # direct ckpt dir / workdir / experiment dir by wid
+  assert train_lib.resolve_warm_start_dir(ckpt) == ckpt
+  assert train_lib.resolve_warm_start_dir(workdir) == ckpt
+  exp_dir = os.path.dirname(workdir)
+  assert train_lib.resolve_warm_start_dir(exp_dir, wid=0) == ckpt
+  with pytest.raises(FileNotFoundError):
+    train_lib.resolve_warm_start_dir(exp_dir, wid=99)
+
+
+def test_itinf_improves_rd_loss(trained_workdir, tmp_path):
+  """SGA optimization of latents should reduce rd_loss vs the amortized
+  encoder output (the paper's core itinf claim, at tiny scale)."""
+  workdir, _ = trained_workdir
+  model, params, config = eval_lib.load_latest_ckpt(
+      workdir, "mshyper",
+      update_model_config=dict(
+          latent_config=dict(uq=dict(method="sga", tau_r=2e-2, tau_ub=0.5, tau_t0=20)),
+          offset_heuristic=False,
+      ),
+  )
+  batch = np.asarray(next(iter(data_lib.SyntheticDataset(1, 64, num_batches=1))))
+  # amortized eval rd_loss
+  amortized = list(eval_lib.evaluate_images(model, params, batch))[0]["rd_loss"]
+  train_m, val_m, itinf_vars = itinf_lib.itinf_on_data_batch(
+      model, params, batch,
+      train_eval_config=dict(num_steps=60, log_metrics_every_steps=20,
+                             eval_every_steps=30),
+      optimizer_config=dict(learning_rate=5e-3, warmup_until=0.0),
+      workdir=str(tmp_path / "itinf"),
+  )
+  assert "uq_0_loc" in itinf_vars and "uq_1_loc" in itinf_vars
+  assert val_m["rd_loss"] <= amortized * 1.02  # should improve (or at least not regress)
+  assert np.isfinite(train_m["rd_loss"])
