@@ -1,0 +1,251 @@
+"""Model-level compress/decompress: real bitstreams for both model families.
+
+Encode flow (mshyper):
+  device: x -> analysis -> y; y -> hyper_analysis -> z; z_hat = round(z-o)+o;
+          z_hat -> hyper_synthesis -> (mu, sigma-index)
+  host:   rANS-encode round(z-o) under the factorized tables and
+          round(y-mu) under the scale-indexed Gaussian tables.
+Decode flow:
+  host:   rANS-decode z symbols -> z_hat
+  device: z_hat -> hyper_synthesis -> (mu, sigma-index)
+  host:   rANS-decode y symbols -> y_hat = k + mu
+  device: y_hat -> synthesis -> image
+
+The decoder recomputes mu/sigma from the decoded z_hat with the same
+deterministic XLA program the encoder used, so y's coding grid matches
+bit-for-bit and decompress(compress(x)) reproduces the eval-path
+reconstruction exactly. This is the capability the reference lacks (its
+entropy models never compress; SURVEY.md section 2.9).
+"""
+
+import struct
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shallow_ntc_tpu.codec import bindings, tables as tables_lib
+from shallow_ntc_tpu.models import base as models_base
+from shallow_ntc_tpu.ops import entropy, metrics_ops
+
+MAGIC = b"SNTC"
+VERSION = 1
+
+
+def _pack_header(version, family_id, h, w, extra=b""):
+  return MAGIC + struct.pack("<BBHH", version, family_id, h, w) + extra
+
+
+def _unpack_header(blob):
+  assert blob[:4] == MAGIC, "not a shallow_ntc_tpu bitstream"
+  version, family_id, h, w = struct.unpack("<BBHH", blob[4:10])
+  return version, family_id, h, w, blob[10:]
+
+
+def _pack_chunks(*chunks: bytes) -> bytes:
+  out = b""
+  for c in chunks:
+    out += struct.pack("<I", len(c)) + c
+  return out
+
+
+def _unpack_chunks(data: bytes, n: int):
+  chunks = []
+  off = 0
+  for _ in range(n):
+    (ln,) = struct.unpack("<I", data[off : off + 4])
+    chunks.append(data[off + 4 : off + 4 + ln])
+    off += 4 + ln
+  return chunks
+
+
+@dataclass
+class CompressionResult:
+  bitstring: bytes
+  reconstruction: np.ndarray  # uint8 [H, W, 3] (encoder-side decode)
+  bpp: float
+
+
+class MSHyperCodec:
+  """Compress/decompress with a trained mean-scale hyperprior model."""
+
+  def __init__(self, model, params):
+    self.model = model
+    self.params = params
+    cls = type(model)
+
+    def analyze(params, x):
+      latents = model.apply({"params": params}, x, method=cls.infer_latent_rvs)
+      z, y = latents.uq[0].loc, latents.uq[1].loc
+      offset = model.apply(
+          {"params": params}, method=cls.prior_quantization_offset
+      )
+      if offset is None:
+        offset = jnp.zeros((z.shape[-1],), jnp.float32)
+      z_hat = jnp.round(z - offset) + offset
+      mu, indexes = model.apply(
+          {"params": params}, z_hat, method=cls.hyper_synthesize
+      )
+      indexes = entropy.normalize_indexes(indexes)
+      return z, z_hat, y, mu, indexes
+
+    def hyper_dec(params, z_hat):
+      mu, indexes = model.apply(
+          {"params": params}, z_hat, method=cls.hyper_synthesize
+      )
+      return mu, entropy.normalize_indexes(indexes)
+
+    def synth(params, y_hat):
+      return model.apply({"params": params}, y_hat, method=cls.synthesize)
+
+    self._analyze = jax.jit(analyze)
+    self._hyper_dec = jax.jit(hyper_dec)
+    self._synth = jax.jit(synth)
+
+    prior = entropy.DeepFactorizedPrior(channels=self._prior_channels())
+    prior_params = {"params": params["_prior"]}
+    self.z_tables = tables_lib.build_factorized_tables(
+        prior, prior_params, offset_heuristic=model.offset_heuristic
+    )
+    self.y_tables = tables_lib.build_gaussian_tables()
+
+  def _prior_channels(self):
+    p = self.params["_prior"]["matrix_0"]
+    return p.shape[0]
+
+  def compress(self, image: np.ndarray) -> CompressionResult:
+    """image: [H, W, 3] or [1, H, W, 3], normalized floats (x/255 - 0.5)."""
+    x = np.asarray(image, np.float32)
+    if x.ndim == 3:
+      x = x[None]
+    assert x.shape[0] == 1, "codec compresses one image at a time"
+    h, w = x.shape[1], x.shape[2]
+
+    z, z_hat, y, mu, indexes = jax.device_get(self._analyze(self.params, jnp.asarray(x)))
+    z_syms = self.z_tables.symbols_from_latent(z)
+    z_idx = self.z_tables.channel_indexes(z.shape)
+    z_bytes = bindings.rans_encode(z_syms, z_idx, self.z_tables.tables)
+
+    y_idx = self.y_tables.snap_indexes(indexes)
+    y_syms = self.y_tables.symbols_from_latent(y, mu, y_idx)
+    y_bytes = bindings.rans_encode(y_syms, y_idx, self.y_tables.tables)
+
+    # z's spatial extent follows from the padded image size; only H, W travel.
+    blob = _pack_header(VERSION, 1, h, w) + _pack_chunks(z_bytes, y_bytes)
+
+    y_hat = self.y_tables.latent_from_symbols(y_syms, mu, y_idx)
+    rec = self._reconstruct(y_hat, (1, h, w, 3))
+    bpp = len(blob) * 8.0 / (h * w)
+    return CompressionResult(blob, rec, bpp)
+
+  def _latent_shapes(self, h, w):
+    d = self.model.downsample_factor
+    ph, pw = -(-h // d) * d, -(-w // d) * d
+    tc = models_base.to_plain_dict(self.model.transform_config)
+    from shallow_ntc_tpu.models.transforms import config_scale_factor
+
+    fa = config_scale_factor(tc["analysis"])
+    fh = config_scale_factor(tc.get("hyper_analysis", dict(cls="HyperAnalysis")))
+    yh, yw = ph // fa, pw // fa
+    zh, zw = yh // fh, yw // fh
+    return (1, zh, zw, self._prior_channels()), (1, yh, yw, None)
+
+  def _reconstruct(self, y_hat: np.ndarray, out_shape) -> np.ndarray:
+    rec = self._synth(self.params, jnp.asarray(y_hat, jnp.float32))
+    rec = metrics_ops.unpad_images(rec, out_shape)
+    rec255 = models_base.floats_to_pixels(rec, training=False)
+    return np.asarray(jax.device_get(rec255)).astype(np.uint8)[0]
+
+  def decompress(self, blob: bytes) -> np.ndarray:
+    """Returns the uint8 [H, W, 3] reconstruction."""
+    version, family_id, h, w, rest = _unpack_header(blob)
+    assert version == VERSION and family_id == 1
+    z_bytes, y_bytes = _unpack_chunks(rest, 2)
+
+    z_shape, (b, yh, yw, _) = self._latent_shapes(h, w)
+    z_idx = self.z_tables.channel_indexes(z_shape)
+    z_syms = bindings.rans_decode(z_bytes, z_idx, self.z_tables.tables)
+    z_hat = self.z_tables.latent_from_symbols(z_syms)
+
+    mu, indexes = jax.device_get(
+        self._hyper_dec(self.params, jnp.asarray(z_hat, jnp.float32))
+    )
+    y_idx = self.y_tables.snap_indexes(indexes)
+    y_syms = bindings.rans_decode(y_bytes, y_idx, self.y_tables.tables)
+    y_hat = self.y_tables.latent_from_symbols(y_syms, mu, y_idx)
+    return self._reconstruct(y_hat, (1, h, w, 3))
+
+
+class FactorizedCodec:
+  """Compress/decompress with a trained factorized-prior model."""
+
+  def __init__(self, model, params):
+    self.model = model
+    self.params = params
+    cls = type(model)
+
+    def analyze(params, x):
+      latents = model.apply({"params": params}, x, method=cls.infer_latent_rvs)
+      return latents.uq[0].loc
+
+    def synth(params, y_hat):
+      return model.apply({"params": params}, y_hat, method=cls.synthesize)
+
+    self._analyze = jax.jit(analyze)
+    self._synth = jax.jit(synth)
+
+    prior = entropy.DeepFactorizedPrior(
+        channels=self.params["_prior"]["matrix_0"].shape[0]
+    )
+    self.tables = tables_lib.build_factorized_tables(
+        prior, {"params": params["_prior"]},
+        offset_heuristic=model.offset_heuristic,
+    )
+
+  def compress(self, image: np.ndarray) -> CompressionResult:
+    x = np.asarray(image, np.float32)
+    if x.ndim == 3:
+      x = x[None]
+    assert x.shape[0] == 1
+    h, w = x.shape[1], x.shape[2]
+    y = np.asarray(jax.device_get(self._analyze(self.params, jnp.asarray(x))))
+    syms = self.tables.symbols_from_latent(y)
+    idx = self.tables.channel_indexes(y.shape)
+    y_bytes = bindings.rans_encode(syms, idx, self.tables.tables)
+    blob = _pack_header(VERSION, 0, h, w) + _pack_chunks(y_bytes)
+    y_hat = self.tables.latent_from_symbols(syms)
+    rec = self._reconstruct(y_hat, (1, h, w, 3))
+    return CompressionResult(blob, rec, len(blob) * 8.0 / (h * w))
+
+  def _reconstruct(self, y_hat, out_shape):
+    rec = self._synth(self.params, jnp.asarray(y_hat, jnp.float32))
+    rec = metrics_ops.unpad_images(rec, out_shape)
+    rec255 = models_base.floats_to_pixels(rec, training=False)
+    return np.asarray(jax.device_get(rec255)).astype(np.uint8)[0]
+
+  def decompress(self, blob: bytes) -> np.ndarray:
+    version, family_id, h, w, rest = _unpack_header(blob)
+    assert version == VERSION and family_id == 0
+    (y_bytes,) = _unpack_chunks(rest, 1)
+    d = self.model.downsample_factor
+    ph, pw = -(-h // d) * d, -(-w // d) * d
+    c = self.tables.channels
+    y_shape = (1, ph // d, pw // d, c)
+    idx = self.tables.channel_indexes(y_shape)
+    syms = bindings.rans_decode(y_bytes, idx, self.tables.tables)
+    y_hat = self.tables.latent_from_symbols(syms)
+    return self._reconstruct(y_hat, (1, h, w, 3))
+
+
+def make_codec(model, params):
+  """Codec factory keyed on the model family."""
+  from shallow_ntc_tpu.models import factorized as factorized_models
+  from shallow_ntc_tpu.models import mshyper as mshyper_models
+
+  if isinstance(model, mshyper_models.Model):
+    return MSHyperCodec(model, params)
+  if isinstance(model, factorized_models.Model):
+    return FactorizedCodec(model, params)
+  raise TypeError(type(model))

@@ -60,9 +60,8 @@ def load_latest_ckpt(
   family = model_family or infer_model_family(workdir, config)
   model, optimizer_config = train_lib.build_model_from_config(model_config, family)
 
-  state, _, _ = train_lib.create_train_state(
-      model, optimizer_config, jax.random.PRNGKey(0), (64, 64, 3)
-  )
+  # Abstract restore target: no device compute / XLA compile needed to load.
+  state = train_lib.create_abstract_state(model, optimizer_config, (64, 64, 3))
   ckpt_dir = os.path.join(workdir, "train", "checkpoints")
   state = train_lib.restore_params_from_dir(ckpt_dir, state)
   config["model_config"] = model_config

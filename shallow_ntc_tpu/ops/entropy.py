@@ -160,30 +160,35 @@ class DeepFactorizedPrior(nn.Module):
     p = jnp.abs(jax.nn.sigmoid(sign * up) - jax.nn.sigmoid(sign * lo))
     return jnp.log(lower_bound(p, _LIKELIHOOD_FLOOR))
 
-  def median(self, num_iters: int = 60) -> jax.Array:
-    """Per-channel median of the *continuous* density, found by bisection.
+  def quantile_from_logit(self, target_logit, num_iters: int = 60) -> jax.Array:
+    """Per-channel x with logits_cdf(x) == target_logit, by bisection.
 
-    The CDF logits are monotone in x, so bisection on logits_cdf(x) = 0 is
-    exact. Used for the tfc offset heuristic (quantization grid centered on
-    the prior median); gradients are stopped, matching tfc.
+    The CDF logits are monotone in x, so bisection is exact. target_logit=0
+    gives the median (tfc offset heuristic); large +-logits give the tail
+    quantiles used to size the codec's integer alphabets.
     """
+    target = jnp.full((self.channels,), target_logit, jnp.float32)
 
     def eval_logits(x_c):  # x_c: (C,)
       return self.logits_cdf(x_c[None, :])[0]
 
-    lo = jnp.full((self.channels,), -64.0, jnp.float32)
-    hi = jnp.full((self.channels,), 64.0, jnp.float32)
+    lo = jnp.full((self.channels,), -256.0, jnp.float32)
+    hi = jnp.full((self.channels,), 256.0, jnp.float32)
 
     def body(_, carry):
       lo, hi = carry
       mid = 0.5 * (lo + hi)
       val = eval_logits(mid)
-      lo = jnp.where(val < 0.0, mid, lo)
-      hi = jnp.where(val >= 0.0, mid, hi)
+      lo = jnp.where(val < target, mid, lo)
+      hi = jnp.where(val >= target, mid, hi)
       return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, num_iters, body, (lo, hi))
     return jax.lax.stop_gradient(0.5 * (lo + hi))
+
+  def median(self, num_iters: int = 60) -> jax.Array:
+    """Per-channel median of the *continuous* density (logit target 0)."""
+    return self.quantile_from_logit(0.0, num_iters)
 
   def quantization_offset(self) -> jax.Array:
     """tfc offset heuristic: median - round(median), stop-gradient. Shape (C,)."""

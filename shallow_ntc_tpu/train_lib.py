@@ -160,6 +160,28 @@ def create_train_state(
   return state, tx, lr_fn
 
 
+def create_abstract_state(model, optimizer_config: Mapping, input_shape):
+  """Abstract (shape/dtype-only) TrainState for checkpoint restoration.
+
+  Uses jax.eval_shape, so no device computation or XLA compile happens --
+  restoring a checkpoint for eval/codec use is pure I/O.
+  """
+  tx, _ = make_optimizer(optimizer_config, model.scheduled_num_steps)
+
+  def init_fn(rng):
+    dummy = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
+    variables = model.init(rng, dummy, training=False, rng=None, step=0)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=jax.random.PRNGKey(0),
+    )
+
+  return jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+
+
 def make_train_step(model, tx, lr_fn):
   """Build the pure (state, batch) -> (state, metrics) step function."""
 
@@ -262,17 +284,25 @@ def resolve_warm_start_dir(warm_start: str, wid=None) -> Optional[str]:
 
 
 def restore_params_from_dir(ckpt_dir: str, state: TrainState) -> TrainState:
-  """Load params (only) from a foreign checkpoints dir into `state`."""
+  """Load params (and step) from a foreign checkpoints dir into `state`.
+
+  `state` may be a real TrainState or an abstract one from
+  create_abstract_state (shape/dtype target only).
+  """
   import orbax.checkpoint as ocp
 
   mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
   step = mgr.latest_step()
   if step is None:
     raise FileNotFoundError(f"No checkpoints under {ckpt_dir}")
-  restored = mgr.restore(
-      step, args=ocp.args.StandardRestore(jax.device_get(state))
+  is_abstract = isinstance(
+      jax.tree_util.tree_leaves(state.params)[0], jax.ShapeDtypeStruct
   )
+  target = state if is_abstract else jax.device_get(state)
+  restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
   logging.info("Warm-started params from %s at step %d", ckpt_dir, step)
+  if is_abstract:
+    return restored
   return state.replace(params=restored.params, step=restored.step)
 
 

@@ -1,0 +1,186 @@
+"""Codec tests: rANS round trips, CDF tables, model-level bitstreams.
+
+SURVEY.md section 4 "codec round-trip" coverage -- a new capability vs the
+reference (whose entropy models never compress).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shallow_ntc_tpu.codec import api as codec_api
+from shallow_ntc_tpu.codec import bindings, tables as tables_lib
+from shallow_ntc_tpu.ops import entropy
+
+
+def _uniform_table(num_symbols):
+  f = np.full(num_symbols, 65536 // num_symbols, np.int64)
+  f[0] += 65536 - f.sum()
+  return np.concatenate([[0], np.cumsum(f)]).astype(np.uint32)
+
+
+class TestRans:
+  def test_roundtrip_with_escapes(self):
+    rng = np.random.default_rng(0)
+    t = bindings.CdfTables([_uniform_table(5), _uniform_table(17)])
+    n = 100_000
+    idx = rng.integers(0, 2, n).astype(np.int32)
+    sym = np.where(idx == 0, rng.integers(0, 4, n), rng.integers(0, 16, n)).astype(np.int32)
+    pos = rng.integers(0, n, 200)
+    sym[pos] = rng.integers(-(2**30), 2**30, 200)
+    data = bindings.rans_encode(sym, idx, t)
+    out = bindings.rans_decode(data, idx, t)
+    np.testing.assert_array_equal(out, sym)
+
+  def test_rate_close_to_entropy(self):
+    rng = np.random.default_rng(1)
+    probs = np.asarray([0.5, 0.25, 0.125, 0.0625, 0.0625])
+    f = np.round(probs * 65530).astype(np.int64)
+    f = np.append(f, 65536 - f.sum())  # escape slot
+    cdf = np.concatenate([[0], np.cumsum(f)]).astype(np.uint32)
+    t = bindings.CdfTables([cdf])
+    n = 200_000
+    sym = rng.choice(5, n, p=probs).astype(np.int32)
+    idx = np.zeros(n, np.int32)
+    data = bindings.rans_encode(sym, idx, t)
+    bits_per_sym = len(data) * 8 / n
+    entropy_bits = -(probs * np.log2(probs)).sum()
+    assert bits_per_sym < entropy_bits * 1.005 + 0.01
+
+  def test_empty_and_single(self):
+    t = bindings.CdfTables([_uniform_table(4)])
+    for n in (0, 1):
+      sym = np.zeros(n, np.int32)
+      idx = np.zeros(n, np.int32)
+      out = bindings.rans_decode(bindings.rans_encode(sym, idx, t), idx, t)
+      np.testing.assert_array_equal(out, sym)
+
+
+class TestTables:
+  def test_quantize_pmf(self):
+    pmf = np.asarray([0.7, 0.2, 0.1])
+    cdf = tables_lib.quantize_pmf(pmf, escape_mass=1e-8)
+    assert cdf[0] == 0 and cdf[-1] == 65536
+    freqs = np.diff(cdf.astype(np.int64))
+    assert (freqs >= 1).all()
+    np.testing.assert_allclose(freqs[:3] / 65536, pmf, atol=2e-3)
+
+  def test_factorized_tables_mass(self):
+    prior = entropy.DeepFactorizedPrior(channels=6)
+    params = prior.init(jax.random.PRNGKey(0), jnp.zeros((1, 6)))
+    ft = tables_lib.build_factorized_tables(prior, params)
+    assert ft.tables.num_tables == 6
+    # coded pmf should match the continuous pmf closely on the grid
+    mod = prior.bind(params)
+    for c in [0, 3]:
+      size = ft.tables.sizes[c] - 1  # minus escape
+      grid = (np.arange(size) + ft.kmin[c]).astype(np.float32) + ft.offset[c]
+      x = np.zeros((size, 6), np.float32)
+      x[:, c] = grid
+      pmf_cont = np.exp(np.asarray(mod.log_prob_noisy(jnp.asarray(x))))[:, c]
+      off = ft.tables.offsets[c]
+      freqs = np.diff(ft.tables.cdfs[off : off + ft.tables.sizes[c] + 1].astype(np.int64))
+      np.testing.assert_allclose(freqs[:-1] / 65536, pmf_cont, atol=3e-3)
+
+  def test_gaussian_tables(self):
+    gt = tables_lib.build_gaussian_tables()
+    assert gt.tables.num_tables == entropy.NUM_SCALES
+    # small scale -> narrow table, large scale -> wide table
+    assert gt.tables.sizes[0] < gt.tables.sizes[-1]
+    idx = gt.snap_indexes(np.asarray([-3.0, 0.2, 63.9, 400.0]))
+    np.testing.assert_array_equal(idx, [0, 0, 63, 63])
+
+
+def _train_tiny(model_cls, model_kwargs, steps=12):
+  from shallow_ntc_tpu import train_lib
+
+  model = model_cls(**model_kwargs)
+  state, tx, lr_fn = train_lib.create_train_state(
+      model, dict(learning_rate=1e-3, warmup_until=0.0), jax.random.PRNGKey(0),
+      (64, 64, 3),
+  )
+  step_fn = jax.jit(train_lib.make_train_step(model, tx, lr_fn))
+  x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3), minval=-0.5, maxval=0.5)
+  for _ in range(steps):
+    state, _ = step_fn(state, x)
+  return model, jax.device_get(state.params)
+
+
+class TestModelCodecs:
+  @pytest.fixture(scope="class")
+  def mshyper_setup(self):
+    from shallow_ntc_tpu.models import mshyper as mshyper_models
+
+    return _train_tiny(
+        mshyper_models.Model,
+        dict(
+            scheduled_num_steps=20,
+            rd_lambda=0.01,
+            transform_config=dict(
+                analysis=dict(cls="CNNAnalysis", channels_base=8, output_channels=12),
+                synthesis=dict(cls="TwoLayerSynthesis", channels=(6, 3),
+                               strides=(8, 2), kernel_sizes=(13, 5)),
+                hyper_analysis=dict(cls="HyperAnalysisSmall", bottleneck_size=12),
+                hyper_synthesis=dict(cls="HyperSynthesisSmall", bottleneck_size=12),
+            ),
+        ),
+    )
+
+  def test_mshyper_roundtrip_bit_exact(self, mshyper_setup):
+    model, params = mshyper_setup
+    codec = codec_api.make_codec(model, params)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (96, 80, 3)).astype(np.float32) / 255.0 - 0.5
+    result = codec.compress(img)
+    rec = codec.decompress(result.bitstring)
+    # decoder output must equal the encoder-side reconstruction bit-for-bit
+    np.testing.assert_array_equal(rec, result.reconstruction)
+    assert rec.shape == (96, 80, 3) and rec.dtype == np.uint8
+    assert result.bpp > 0
+
+  def test_mshyper_bpp_close_to_likelihood(self, mshyper_setup):
+    """Real-bitstream bpp should be close to the eval likelihood bpp.
+
+    The codec pays small overheads (16-bit CDF quantization, integer-snapped
+    scale indexes, header, rANS flush), so allow a modest margin.
+    """
+    model, params = mshyper_setup
+    codec = codec_api.make_codec(model, params)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (128, 128, 3)).astype(np.float32) / 255.0 - 0.5
+    result = codec.compress(img)
+
+    _, metrics, _ = model.apply(
+        {"params": params}, jnp.asarray(img[None]), training=False, rng=None,
+        step=20, method=type(model).end_to_end_frame_loss,
+    )
+    likelihood_bpp = float(metrics["bpp"])
+    assert result.bpp >= likelihood_bpp * 0.98  # can't beat the model's entropy
+    assert result.bpp <= likelihood_bpp * 1.10 + 0.02
+
+  def test_factorized_roundtrip(self):
+    from shallow_ntc_tpu.models import factorized as factorized_models
+
+    model, params = _train_tiny(
+        factorized_models.Model,
+        dict(
+            scheduled_num_steps=20,
+            rd_lambda=0.01,
+            transform_config=dict(
+                analysis=dict(cls="BLS2017Analysis", num_filters=8),
+                synthesis=dict(cls="BLS2017Synthesis", num_filters=8),
+            ),
+        ),
+    )
+    codec = codec_api.make_codec(model, params)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (80, 96, 3)).astype(np.float32) / 255.0 - 0.5
+    result = codec.compress(img)
+    rec = codec.decompress(result.bitstring)
+    np.testing.assert_array_equal(rec, result.reconstruction)
+    _, metrics, _ = model.apply(
+        {"params": params}, jnp.asarray(img[None]), training=False, rng=None,
+        step=20, method=type(model).end_to_end_frame_loss,
+    )
+    assert result.bpp <= float(metrics["bpp"]) * 1.10 + 0.02
