@@ -506,6 +506,7 @@ class JPEGLikeSynthesis(nn.Module):
   padding: str = "SAME"
   use_bias: bool = True
   use_offset: bool = False
+  use_pallas: bool = False
   dtype: Optional[Dtype] = None
 
   @property
@@ -526,6 +527,20 @@ class JPEGLikeSynthesis(nn.Module):
     if self.use_offset:
       ones = jnp.ones(x.shape[:-1] + (1,), x.dtype)
       x = jnp.concatenate([x, ones], axis=-1)
+    if (
+        self.use_pallas
+        and self.kernel_size == self.strides
+        and not self.is_initializing()
+    ):
+      # Fused Pallas matmul + depth-to-space path (bit-exact vs the conv;
+      # see ops/pallas/jpegl_decode.py). Params stay on the conv submodule
+      # so checkpoints are interchangeable between paths.
+      from shallow_ntc_tpu.ops.pallas.jpegl_decode import jpegl_synthesize
+
+      variables = self.conv.variables["params"]
+      kernel = variables["kernel"]
+      bias = variables.get("bias") if self.use_bias else None
+      return jpegl_synthesize(x, kernel, bias)
     return self.conv(x)
 
 
