@@ -6,6 +6,13 @@ two-layer synthesis (y_hat -> image, g ~10.7K FLOPs/px), on Kodak-shaped
 (512x768) images. The reference publishes no wall-clock numbers (BASELINE.md);
 the north star is >= 2 Gpixel/s/chip.
 
+Methodology (see memory/axon notes): on this remote-TPU tunnel,
+block_until_ready can return before execution finishes and single fetches pay
+a ~25ms polling floor, so K decode iterations run inside ONE jitted
+lax.fori_loop with a data-dependence chain (no hoisting possible), a single
+scalar is fetched, and the *marginal* time between two loop lengths removes
+the fixed overhead.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 2000 Mpixel/s (the north-star target).
 """
@@ -21,8 +28,7 @@ import numpy as np
 NORTH_STAR_MPS = 2000.0  # 2 Gpixel/s in Mpixel/s
 
 
-def build_decode_fn(dtype=jnp.bfloat16):
-  """Jitted z_hat,y_hat -> reconstructed image for the flagship decoder."""
+def build_model(dtype=jnp.bfloat16):
   from shallow_ntc_tpu.models import mshyper as mshyper_models
 
   model = mshyper_models.Model(
@@ -40,57 +46,69 @@ def build_decode_fn(dtype=jnp.bfloat16):
   rng = jax.random.PRNGKey(0)
   x = jnp.zeros((1, 64, 64, 3), jnp.float32)
   variables = model.init(rng, x, training=False, rng=None, step=0)
-  params = variables["params"]
+  params = jax.tree_util.tree_map(
+      lambda a: a.astype(dtype), variables["params"]
+  )
+  return model, params
 
-  def decode(params, z_hat, y_hat):
-    mu, sigma = model.apply(
-        {"params": params}, z_hat, method=type(model).hyper_synthesize
+
+def build_decode_loop(model, params, batch, h, w, n_iters, dtype):
+  """One jitted program: n_iters chained decodes, returns a checksum scalar."""
+  cls = type(model)
+
+  def decode(z_hat, y_hat):
+    mu, idx = model.apply({"params": params}, z_hat, method=cls.hyper_synthesize)
+    rec = model.apply({"params": params}, y_hat, method=cls.synthesize)
+    return (
+        jnp.sum(rec, dtype=jnp.float32)
+        + jnp.sum(mu, dtype=jnp.float32)
+        + jnp.sum(idx, dtype=jnp.float32)
     )
-    rec = model.apply({"params": params}, y_hat, method=type(model).synthesize)
-    # mu/sigma feed the (host-side) entropy decoder; reduce over ALL elements
-    # so XLA cannot dead-code-eliminate any part of the hyper-synthesis.
-    return rec, jnp.sum(mu, dtype=jnp.float32), jnp.sum(sigma, dtype=jnp.float32)
 
-  return model, params, jax.jit(decode)
+  def loop(z_hat, y_hat):
+    def body(i, chk):
+      # Chain the checksum into the inputs: every iteration depends on the
+      # previous one, so XLA cannot hoist or elide any decode.
+      eps = (chk * 1e-20).astype(dtype)
+      return decode(z_hat + eps, y_hat + eps)
+
+    return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+  return jax.jit(loop)
+
+
+def timed_loop(loop_fn, z_hat, y_hat, repeats=3):
+  float(loop_fn(z_hat, y_hat))  # compile + warm
+  best = float("inf")
+  for _ in range(repeats):
+    t0 = time.perf_counter()
+    float(loop_fn(z_hat, y_hat))  # value fetch forces real completion
+    best = min(best, time.perf_counter() - t0)
+  return best
 
 
 def main():
   batch = int(os.environ.get("BENCH_BATCH", "8"))
-  iters = int(os.environ.get("BENCH_ITERS", "20"))
   h, w = 512, 768  # Kodak landscape
-  dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+  dtype = (
+      jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+      else jnp.float32
+  )
+  k_small = int(os.environ.get("BENCH_K_SMALL", "16"))
+  k_large = int(os.environ.get("BENCH_K_LARGE", "64"))
 
-  model, params, decode = build_decode_fn(dtype)
-
+  model, params = build_model(dtype)
   rng = np.random.default_rng(0)
-  params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
-  # Rotate over distinct inputs so runtime-level caching of identical calls
-  # cannot fake the measurement.
-  n_bufs = 8
-  ys = [
-      jnp.asarray(rng.integers(-8, 8, (batch, h // 16, w // 16, 320)), dtype)
-      for _ in range(n_bufs)
-  ]
-  zs = [
-      jnp.asarray(rng.integers(-8, 8, (batch, h // 64, w // 64, 320)), dtype)
-      for _ in range(n_bufs)
-  ]
+  y_hat = jnp.asarray(rng.integers(-8, 8, (batch, h // 16, w // 16, 320)), dtype)
+  z_hat = jnp.asarray(rng.integers(-8, 8, (batch, h // 64, w // 64, 320)), dtype)
 
-  # Warmup / compile.
-  jax.block_until_ready(decode(params, zs[0], ys[0]))
+  loop_small = build_decode_loop(model, params, batch, h, w, k_small, dtype)
+  loop_large = build_decode_loop(model, params, batch, h, w, k_large, dtype)
+  t_small = timed_loop(loop_small, z_hat, y_hat)
+  t_large = timed_loop(loop_large, z_hat, y_hat)
 
-  times = []
-  for _ in range(3):
-    t0 = time.perf_counter()
-    outs = [
-        decode(params, zs[i % n_bufs], ys[i % n_bufs]) for i in range(iters)
-    ]
-    jax.block_until_ready(outs)
-    times.append(time.perf_counter() - t0)
-  dt = sorted(times)[1]  # median of 3 trials
-
-  pixels = batch * h * w * iters
-  mps = pixels / dt / 1e6
+  marginal = (t_large - t_small) / (k_large - k_small)  # seconds per decode
+  mps = batch * h * w / marginal / 1e6
   print(
       json.dumps(
           {

@@ -53,15 +53,19 @@ def load_latest_ckpt(
   """
   config = runname_utils.load_json(os.path.join(workdir, "config.json"))
   model_config = models_base.to_plain_dict(config["model_config"])
+  # The restore target's opt_state must match what training SAVED, so the
+  # abstract state is built with the checkpoint's original optimizer_config
+  # even when update_model_config overrides it (e.g. itinf's optimizer).
+  saved_optimizer_config = dict(model_config.get("optimizer_config", {}))
   if update_model_config:
     model_config = _deep_update(
         model_config, models_base.to_plain_dict(update_model_config)
     )
   family = model_family or infer_model_family(workdir, config)
-  model, optimizer_config = train_lib.build_model_from_config(model_config, family)
+  model, _ = train_lib.build_model_from_config(model_config, family)
 
   # Abstract restore target: no device compute / XLA compile needed to load.
-  state = train_lib.create_abstract_state(model, optimizer_config, (64, 64, 3))
+  state = train_lib.create_abstract_state(model, saved_optimizer_config, (64, 64, 3))
   ckpt_dir = os.path.join(workdir, "train", "checkpoints")
   state = train_lib.restore_params_from_dir(ckpt_dir, state)
   config["model_config"] = model_config
@@ -70,9 +74,22 @@ def load_latest_ckpt(
 
 
 def find_workdir_by_wid(experiment_dir: str, wid) -> str:
-  """Locate the work-unit dir `wid=<wid>-*` (reference itinf_lib.py:167-174)."""
+  """Locate the work-unit dir `wid=<wid>-*` (reference itinf_lib.py:167-174).
+
+  Falls back to a sole un-prefixed workdir (runs launched without a
+  scheduler have no wid= prefix)."""
   matches = sorted(glob.glob(os.path.join(experiment_dir, f"wid={wid}-*")))
   if not matches:
+    candidates = [
+        d for d in sorted(glob.glob(os.path.join(experiment_dir, "*")))
+        if os.path.isdir(os.path.join(d, "train", "checkpoints"))
+    ]
+    if len(candidates) == 1:
+      logging.warning(
+          "No wid=%s-* under %s; using the only workdir %s",
+          wid, experiment_dir, candidates[0],
+      )
+      return candidates[0]
     raise FileNotFoundError(
         f"No work unit wid={wid} under {experiment_dir}"
     )
@@ -116,6 +133,29 @@ def evaluate_images(model, params, images: Iterable, lpips_fn=None, step=0):
     yield out
 
 
+def _evaluate_with_shapes(model, params, images, lpips_fn, step):
+  """evaluate_images, also yielding each image's (padded-batch) shape."""
+  model_cls = type(model)
+  eval_fn = jax.jit(
+      lambda p, x: model.apply(
+          {"params": p}, x, training=False, rng=None, step=step,
+          method=model_cls.end_to_end_frame_loss,
+      )
+  )
+  if hasattr(images, "shape"):
+    images = [images[i : i + 1] for i in range(images.shape[0])]
+  for img in images:
+    img = jnp.asarray(img)
+    if img.ndim == 3:
+      img = img[None]
+    _, metrics, rec = eval_fn(params, img)
+    out = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    if lpips_fn is not None:
+      img255 = models_base.floats_to_pixels(img, training=False)
+      out["lpips"] = float(lpips_fn(img255, jnp.asarray(rec, jnp.float32)))
+    yield out, tuple(img.shape)
+
+
 def eval_workdir(
     workdir: str,
     eval_data,
@@ -124,9 +164,12 @@ def eval_workdir(
     skip_existing: bool = False,
     model_family: Optional[str] = None,
     lpips_fn=None,
+    profile: bool = False,
 ) -> Optional[str]:
   """Evaluate a trained workdir on a dataset; dump a flat JSON list of
-  per-image metrics (reference eval_lib.py:56-105)."""
+  per-image metrics (reference eval_lib.py:56-105). With profile=True,
+  per-transform wall times are attached to each record (the reference's
+  profile mode, mshyper/models.py:142-149 / eval.py:22)."""
   model, params, config = load_latest_ckpt(workdir, model_family)
   step = config.get("_restored_step", 0)
 
@@ -140,15 +183,23 @@ def eval_workdir(
     return results_path
 
   hparams = dict(runname_utils.parse_runname(wu_name))
+  timing_cache: Dict[tuple, Dict[str, float]] = {}
   all_metrics: List[Dict] = []
-  for instance_id, metrics in enumerate(
-      evaluate_images(model, params, eval_data, lpips_fn=lpips_fn, step=step)
+  for instance_id, (metrics, img_shape) in enumerate(
+      _evaluate_with_shapes(model, params, eval_data, lpips_fn, step)
   ):
     record = dict(metrics)
+    if profile:
+      if img_shape not in timing_cache:
+        from shallow_ntc_tpu.utils import profiling
+
+        dummy = jnp.zeros(img_shape, jnp.float32)
+        timing_cache[img_shape] = profiling.transform_timings(model, params, dummy)
+      record.update(timing_cache[img_shape])
     record["instance_id"] = instance_id
     record.update(hparams)
     all_metrics.append(record)
-    logging.info("img %d: %s", instance_id, metrics)
+    logging.info("img %d: %s", instance_id, record if profile else metrics)
 
   runname_utils.dump_json(all_metrics, results_path)
   logging.info("Wrote %s", results_path)

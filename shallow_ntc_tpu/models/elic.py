@@ -25,8 +25,18 @@ _CONV_INIT = nn.initializers.glorot_uniform()
 
 
 def _conv(features, kernel, stride=1, transpose=False, dtype=None):
-  cls = nn.ConvTranspose if transpose else nn.Conv
-  return cls(
+  if transpose:
+    from shallow_ntc_tpu.models.transforms import FastConvTranspose
+
+    return FastConvTranspose(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        use_bias=True,
+        kernel_init=_CONV_INIT,
+        dtype=dtype,
+    )
+  return nn.Conv(
       features=features,
       kernel_size=(kernel, kernel),
       strides=(stride, stride),

@@ -1,0 +1,267 @@
+"""Subpixel (phase-decomposed) transposed convolution for TPU.
+
+XLA lowers `lax.conv_transpose` (input dilation) poorly on TPU for the big
+strided deconvs in this framework's decoders (k13s8, k5s2, k16/18s16): the
+measured flagship decode ran at <10% of MXU peak. This module rewrites any
+SAME conv-transpose as a *dense* stride-1 convolution producing s*s output
+phases followed by depth-to-space -- the classic subpixel decomposition --
+which XLA tiles onto the MXU like any ordinary conv.
+
+Math: for flax/lax SAME conv_transpose with kernel K [k, k, C_in, C_out]
+(cross-correlated, unflipped, over the s-dilated input padded by
+P = k-1-max(k-s,0)//2 on the low side), output position o = s*b + r satisfies
+
+    out[s*b + r] = sum_d z[b + d] * K[P - r + s*d]   for P - r + s*d in [0, k)
+
+so phase r is a stride-1 conv over z with taps d in a fixed small window
+[dmin, dmax]. All s*s phases stack into one conv with T = dmax-dmin+1 taps
+per axis and s*s*C_out output channels (zero-padded where a phase has fewer
+taps), then depth_to_space(s) interleaves the phases. Equality with
+lax.conv_transpose is exact (tested for every (k, s) used by the paper).
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_geometry(k: int, s: int) -> Tuple[int, int, np.ndarray, np.ndarray]:
+  """Static tap geometry: (dmin, T, t_idx[s, T], valid[s, T])."""
+  pad_fwd_lo = max(k - s, 0) // 2
+  p = k - 1 - pad_fwd_lo
+  d_candidates = range(-(k // s) - 1, k // s + 2)
+  dmin, dmax = None, None
+  for r in range(s):
+    for d in d_candidates:
+      t = p - r + s * d
+      if 0 <= t < k:
+        dmin = d if dmin is None else min(dmin, d)
+        dmax = d if dmax is None else max(dmax, d)
+  T = dmax - dmin + 1
+  t_idx = np.zeros((s, T), np.int32)
+  valid = np.zeros((s, T), bool)
+  for r in range(s):
+    for j in range(T):
+      t = p - r + s * (dmin + j)
+      if 0 <= t < k:
+        t_idx[r, j] = t
+        valid[r, j] = True
+  return dmin, T, t_idx, valid
+
+
+def phase_kernel(kernel: jax.Array, stride: int) -> Tuple[jax.Array, int, int]:
+  """[k, k, C_in, C_out] -> ([T, T, C_in, s*s*C_out], dmin, T).
+
+  Implemented with pad + slice + reshape + flip only (no gathers): the map
+  (r, j) -> t = P - r + s*(dmin + j) is, in terms of r' = s-1-r, a contiguous
+  re-chunking of the zero-padded kernel starting at A - s + 1 with
+  A = P + s*dmin. Gather-free matters: the kernel is a runtime parameter, so
+  this transform executes per call (and per loop iteration when the decode
+  sits inside lax.scan/fori_loop) -- as reshapes it is effectively free,
+  whereas the gather formulation dominated the decode time.
+  """
+  k = kernel.shape[0]
+  s = stride
+  dmin, T, _, _ = _phase_geometry(k, s)
+  p = k - 1 - max(k - s, 0) // 2
+  start = p + s * dmin - s + 1
+  total = T * s
+  pad_front = max(0, -start)
+  pad_back = max(0, start + total - k)
+  kp = jnp.pad(kernel, ((pad_front, pad_back), (pad_front, pad_back), (0, 0), (0, 0)))
+  off = start + pad_front
+  kp = kp[off : off + total, off : off + total]
+  c_in, c_out = kernel.shape[2], kernel.shape[3]
+  w = kp.reshape(T, s, T, s, c_in, c_out)
+  w = w[:, ::-1, :, ::-1]  # r' = s-1-r  ->  phase order r
+  w = jnp.transpose(w, (0, 2, 4, 1, 3, 5))  # [T, T, C_in, s, s, C_out]
+  return w.reshape(T, T, c_in, s * s * c_out), dmin, T
+
+
+def depth_to_space(x: jax.Array, block: int) -> jax.Array:
+  b, h, w, c = x.shape
+  x = x.reshape(b, h, w, block, block, c // (block * block))
+  x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+  return x.reshape(b, h * block, w * block, c // (block * block))
+
+
+def phase_conv(
+    z: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    stride: int,
+    precision=None,
+) -> jax.Array:
+  """Conv-transpose output in PHASE SPACE: [B, h, w, s*s*C_out].
+
+  depth_to_space(phase_conv(...), s) == fast_conv_transpose(...). Keeping
+  activations in phase space keeps the channel (lane) dimension wide --
+  elementwise work on a [.., 12]-channel upsampled tensor wastes 90% of the
+  VPU lanes, while the equivalent [.., 768] phase tensor is fully packed.
+  """
+  s = stride
+  w_phase, dmin, T = phase_kernel(kernel, s)
+  pad = [(-dmin, T - 1 + dmin), (-dmin, T - 1 + dmin)]
+  dn = jax.lax.conv_dimension_numbers(
+      z.shape, w_phase.shape, ("NHWC", "HWIO", "NHWC")
+  )
+  out = jax.lax.conv_general_dilated(
+      z, w_phase, (1, 1), pad, dimension_numbers=dn, precision=precision
+  )
+  if bias is not None:
+    out = out + jnp.tile(bias, s * s).astype(out.dtype)
+  return out
+
+
+def gdn_phase(
+    x_p: jax.Array,
+    beta: jax.Array,
+    gamma: jax.Array,
+    stride: int,
+    inverse: bool,
+    alpha: float = 1.0,
+    epsilon: float = 1.0,
+) -> jax.Array:
+  """GDN applied to a phase-space tensor [.., s*s*C].
+
+  The per-true-channel (C, C) mixing becomes a block-diagonal
+  (s*s*C, s*s*C) matmul via kron(I, gamma): 64x redundant FLOPs for the
+  (12, 12) flagship case but fully MXU/lane-packed -- an order of magnitude
+  faster than the same op on the depth-to-spaced tensor.
+  """
+  s2 = stride * stride
+  c = gamma.shape[0]
+  big_gamma = jnp.kron(jnp.eye(s2, dtype=gamma.dtype), gamma)
+  big_beta = jnp.tile(beta, s2)
+  if alpha == 1.0:
+    pool = jnp.abs(x_p)
+  elif alpha == 2.0:
+    pool = jnp.square(x_p)
+  else:
+    pool = jnp.abs(x_p) ** alpha
+  norm = pool @ big_gamma + big_beta
+  if epsilon == 0.5:
+    norm = jnp.sqrt(norm)
+  elif epsilon != 1.0:
+    norm = norm**epsilon
+  return x_p * norm if inverse else x_p / norm
+
+
+def partial_depth_to_space(x_p: jax.Array, s: int, keep: int) -> jax.Array:
+  """Phase-space [B, h, w, s*s*C] -> space-packed [B, h*s/keep, w*s/keep,
+  keep*keep*C]: expand phases to pixels except a keep x keep block that stays
+  in channels (s2d(d2s(x, s), keep) in one rearrangement)."""
+  assert s % keep == 0
+  e = s // keep  # expansion factor
+  b, h, w, c_p = x_p.shape
+  c = c_p // (s * s)
+  x = x_p.reshape(b, h, w, e, keep, e, keep, c)
+  x = jnp.transpose(x, (0, 1, 3, 2, 5, 4, 6, 7))  # [b, h, e, w, e, keep, keep, c]
+  return x.reshape(b, h * e, w * e, keep * keep * c)
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_geometry(k: int, s: int, p: int):
+  """Tap geometry for a stride-s SAME deconv consuming a p-packed input.
+
+  Returns (delta_min, Tp, entries) with entries a tuple of
+  (delta_idx, a_in, t, phase_out) per-axis assignments:
+  out phase P = s*a_in' ... specifically out[(s*p)*u + P] picks input packed
+  channel a at cell u+delta with original kernel tap t.
+  """
+  pad_fwd_lo = max(k - s, 0) // 2
+  p0 = k - 1 - pad_fwd_lo
+  entries = []
+  dmin_o, dmax_o = None, None
+  # P = s*a + r, input packed slot a_src at cell offset delta: d = p*delta + a_src - a
+  for a in range(p):
+    for r in range(s):
+      P = s * a + r
+      for a_src in range(p):
+        for delta in range(-(k // (s * p)) - 2, k // (s * p) + 3):
+          d = p * delta + a_src - a
+          t = p0 - r + s * d
+          if 0 <= t < k:
+            entries.append((delta, a_src, t, P))
+            dmin_o = delta if dmin_o is None else min(dmin_o, delta)
+            dmax_o = delta if dmax_o is None else max(dmax_o, delta)
+  Tp = dmax_o - dmin_o + 1
+  return dmin_o, Tp, tuple(entries)
+
+
+def packed_conv_transpose(
+    x_packed: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    stride: int,
+    pack: int,
+    precision=None,
+) -> jax.Array:
+  """SAME conv-transpose of a p-packed input (channels [p*p*C_in]) producing
+  the full-resolution output via one dense conv + depth_to_space(s*p).
+
+  Equivalent to fast_conv_transpose(d2s-unpacked input, ...). Packing widens
+  both the contraction and the output channel dims (p*p*C_in and
+  (s*p)^2*C_out), curing the lane waste of small-channel decoders.
+  """
+  s, p = stride, pack
+  k = kernel.shape[0]
+  c_in, c_out = kernel.shape[2], kernel.shape[3]
+  dmin, Tp, entries = _packed_geometry(k, s, p)
+  # Per-axis selection tensor mapping original kernel taps into the packed
+  # kernel: kh[delta, a_src, P, t] = 1 where that tap applies.
+  kh = np.zeros((Tp, p, s * p, k), np.float32)
+  for d, a, t, P in entries:
+    kh[d - dmin, a, P, t] = 1.0
+  khj = jnp.asarray(kh, kernel.dtype)
+  # W[dh, dw, ah, aw, ci, Ph, Pw, co] =
+  #   sum_{th, tw} kh[dh, ah, Ph, th] * kh[dw, aw, Pw, tw] * K[th, tw, ci, co]
+  w_full = jnp.einsum(
+      "dapt,ebqu,tuio->deabipqo", khj, khj, kernel.astype(jnp.float32),
+      precision=jax.lax.Precision.HIGHEST,
+  )
+  w_full = w_full.reshape(Tp, Tp, p * p * c_in, (s * p) * (s * p) * c_out)
+  w_full = w_full.astype(x_packed.dtype)
+
+  pad = [(-dmin, Tp - 1 + dmin), (-dmin, Tp - 1 + dmin)]
+  dn = jax.lax.conv_dimension_numbers(
+      x_packed.shape, w_full.shape, ("NHWC", "HWIO", "NHWC")
+  )
+  out_small = jax.lax.conv_general_dilated(
+      x_packed, w_full, (1, 1), pad, dimension_numbers=dn, precision=precision
+  )
+  out = depth_to_space(out_small, s * p)
+  if bias is not None:
+    out = out + bias.astype(out.dtype)
+  return out
+
+
+def fast_conv_transpose(
+    z: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    stride: int,
+    precision=None,
+) -> jax.Array:
+  """SAME conv-transpose via phase conv + depth_to_space.
+
+  Numerically equivalent to
+  lax.conv_transpose(z, kernel, (stride, stride), 'SAME', NHWC/HWIO) [+ bias].
+  """
+  s = stride
+  w_phase, dmin, T = phase_kernel(kernel, s)
+  pad_lo = -dmin
+  pad_hi = T - 1 + dmin
+  dn = jax.lax.conv_dimension_numbers(
+      z.shape, w_phase.shape, ("NHWC", "HWIO", "NHWC")
+  )
+  out_small = jax.lax.conv_general_dilated(
+      z, w_phase, (1, 1), [(pad_lo, pad_hi), (pad_lo, pad_hi)],
+      dimension_numbers=dn, precision=precision,
+  )
+  out = depth_to_space(out_small, s)
+  return out if bias is None else out + bias.astype(out.dtype)

@@ -116,7 +116,8 @@ class TestDeepFactorized:
 
   def test_cdf_monotone_and_bounded(self, prior):
     mod, params = prior
-    xs = jnp.tile(jnp.linspace(-20, 20, 201)[:, None], (1, 4))
+    # init_scale=10 gives logistic (heavy) tails: probe a wide range.
+    xs = jnp.tile(jnp.linspace(-120, 120, 241)[:, None], (1, 4))
     logits = mod.apply(params, xs, method=mod.logits_cdf)
     cdf = jax.nn.sigmoid(logits)
     assert np.all(np.diff(np.asarray(cdf), axis=0) >= -1e-6)
@@ -125,7 +126,8 @@ class TestDeepFactorized:
   def test_density_integrates_to_one(self, prior):
     mod, params = prior
     # Noisy pmf over the integer grid sums to ~1 (it telescopes the CDF).
-    grid = jnp.arange(-40, 41, dtype=jnp.float32)
+    # The init-scale-10 prior has logistic tails, so a wide grid is needed.
+    grid = jnp.arange(-200, 201, dtype=jnp.float32)
     ys = jnp.tile(grid[:, None], (1, 4))
     pmf = jnp.exp(mod.apply(params, ys, method=mod.log_prob_noisy))
     np.testing.assert_allclose(np.asarray(pmf).sum(0), 1.0, atol=1e-3)
@@ -182,12 +184,17 @@ class TestEntropyModelCalls:
     )
 
   def test_index_clipping_gradients(self):
-    # saturated indexes still get corrective gradient
+    # identity-if-towards: a gradient that (under descent) pushes a saturated
+    # index back into [0, 63] passes; one pushing it further out is blocked.
     def f(idx):
       return jnp.sum(entropy.scale_fn(entropy.normalize_indexes(idx)))
 
-    g_low = jax.grad(f)(jnp.array([-5.0]))
-    assert float(g_low[0]) != 0.0
+    g_low_out = jax.grad(f)(jnp.array([-5.0]))  # descent would push down: blocked
+    assert float(g_low_out[0]) == 0.0
+    g_low_in = jax.grad(lambda i: -f(i))(jnp.array([-5.0]))  # pushes up: passes
+    assert float(g_low_in[0]) != 0.0
+    g_interior = jax.grad(f)(jnp.array([30.0]))
+    assert float(g_interior[0]) != 0.0
 
 
 class TestSchedules:
