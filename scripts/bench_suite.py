@@ -24,23 +24,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def pipelined_time(f, inputs, iters):
-  """Median-of-3 pipelined wall time per call (see axon measurement notes).
+def loop_marginal_time(stage_fn, x, n_lo=8, n_hi=32):
+  """Marginal seconds/call via a chained on-device fori_loop + value fetch.
 
-  Every dispatched call uses a DISTINCT input: repeated identical calls can
-  be served from a runtime cache and fake the measurement.
+  The only reliable methodology on this tunnel (PERF_NOTES.md):
+  block_until_ready can return early, single fetches pay ~25ms, and repeated
+  identical dispatches can be runtime-cached.
   """
   import jax
+  import jax.numpy as jnp
 
-  iters = min(iters, len(inputs))
-  jax.block_until_ready(f(*inputs[0]))
-  times = []
-  for _ in range(3):
-    t0 = time.perf_counter()
-    outs = [f(*inputs[i]) for i in range(iters)]
-    jax.block_until_ready(outs)
-    times.append((time.perf_counter() - t0) / iters)
-  return sorted(times)[1]
+  def mkloop(n):
+    def loop(v):
+      def body(i, chk):
+        out = stage_fn(v + (chk * 1e-20).astype(v.dtype))
+        return sum(jnp.sum(o, dtype=jnp.float32) for o in jax.tree_util.tree_leaves(out))
+
+      return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    return jax.jit(loop)
+
+  f_lo, f_hi = mkloop(n_lo), mkloop(n_hi)
+  float(f_lo(x)); float(f_hi(x))
+  t_lo, t_hi = [], []
+  for _ in range(2):
+    t0 = time.perf_counter(); float(f_lo(x)); t_lo.append(time.perf_counter() - t0)
+    t0 = time.perf_counter(); float(f_hi(x)); t_hi.append(time.perf_counter() - t0)
+  return (min(t_hi) - min(t_lo)) / (n_hi - n_lo)
 
 
 def main():
@@ -82,29 +92,27 @@ def main():
 
   B, h, w = 8, 512, 768
 
-  def decode(p, z_hat, y_hat):
-    mu, idx = model_bf16.apply({"params": p}, z_hat, method=cls.hyper_synthesize)
-    rec = model_bf16.apply({"params": p}, y_hat, method=cls.synthesize)
-    return rec, jnp.sum(mu, dtype=jnp.float32), jnp.sum(idx, dtype=jnp.float32)
+  y_hat = jnp.asarray(rng.integers(-8, 8, (B, h // 16, w // 16, 320)), jnp.bfloat16)
+  z_hat = jnp.asarray(rng.integers(-8, 8, (B, h // 64, w // 64, 320)), jnp.bfloat16)
 
-  def encode(p, x):
-    latents = model_bf16.apply({"params": p}, x, method=cls.infer_latent_rvs)
-    return latents.uq[0].loc, latents.uq[1].loc
+  def decode(y):
+    mu, idx = model_bf16.apply(
+        {"params": params}, z_hat + jnp.sum(y, dtype=jnp.bfloat16) * 1e-20,
+        method=cls.hyper_synthesize,
+    )
+    rec = model_bf16.apply({"params": params}, y, method=cls.synthesize)
+    return rec, mu, idx
 
-  dec_inputs = [
-      (params,
-       jnp.asarray(rng.integers(-8, 8, (B, h // 64, w // 64, 320)), jnp.bfloat16),
-       jnp.asarray(rng.integers(-8, 8, (B, h // 16, w // 16, 320)), jnp.bfloat16))
-      for _ in range(8)
-  ]
-  t = pipelined_time(jax.jit(decode), dec_inputs, iters)
+  t = loop_marginal_time(decode, y_hat)
   results["decode_Mpx_per_s"] = round(B * h * w / t / 1e6, 1)
 
-  enc_inputs = [
-      (params, jnp.asarray(rng.uniform(-0.5, 0.5, (B, h, w, 3)), jnp.bfloat16))
-      for _ in range(iters)
-  ]
-  t = pipelined_time(jax.jit(encode), enc_inputs, iters)
+  x_img = jnp.asarray(rng.uniform(-0.5, 0.5, (B, h, w, 3)), jnp.bfloat16)
+
+  def encode(x):
+    latents = model_bf16.apply({"params": params}, x, method=cls.infer_latent_rvs)
+    return latents.uq[0].loc, latents.uq[1].loc
+
+  t = loop_marginal_time(encode, x_img, n_lo=4, n_hi=16)
   results["encode_Mpx_per_s"] = round(B * h * w / t / 1e6, 1)
 
   # --- training step rate (f32 params, default precision) ----------------
@@ -118,13 +126,16 @@ def main():
       jnp.asarray(rng.uniform(-0.5, 0.5, (8, 256, 256, 3)), jnp.float32)
       for _ in range(4)
   ]
-  state, _ = train_step(state, batches[0])
-  jax.block_until_ready(state.params)
-  t0 = time.perf_counter()
+  state, m = train_step(state, batches[0])
+  float(m["rd_loss"])  # force completion
   n = iters
+  t0 = time.perf_counter()
   for i in range(n):
     state, metrics = train_step(state, batches[i % 4])
-  jax.block_until_ready(state.params)
+  # Steps chain through `state`, so fetching the LAST loss forces the whole
+  # sequence to really execute (block_until_ready alone is insufficient on
+  # this tunnel -- see PERF_NOTES.md).
+  float(metrics["rd_loss"])
   dt = (time.perf_counter() - t0) / n
   results["train_steps_per_s_b8_256"] = round(1.0 / dt, 2)
   results["train_img_per_s"] = round(8.0 / dt, 1)
@@ -143,16 +154,18 @@ def main():
   img = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 512, 768, 3)), jnp.float32)
   latents, opt_state = jax.jit(init_fn)(params_f32 := state.params, img)
   scan_jit = jax.jit(scan_fn, static_argnames=("n_steps",))
-  n_steps = 100 if args.fast else 200
-  out = scan_jit(params_f32, img, latents, opt_state, 0, n_steps=n_steps,
-                 rng=jax.random.PRNGKey(0))
-  jax.block_until_ready(out[0])
-  t0 = time.perf_counter()
-  out = scan_jit(params_f32, img, latents, opt_state, 0, n_steps=n_steps,
-                 rng=jax.random.PRNGKey(1))
-  jax.block_until_ready(out[0])
-  dt = time.perf_counter() - t0
-  results["itinf_sga_steps_per_s_kodak"] = round(n_steps / dt, 1)
+  def run_itinf(n_steps, key):
+    out = scan_jit(params_f32, img, latents, opt_state, 0, n_steps=n_steps,
+                   rng=jax.random.PRNGKey(key))
+    # Fetch a latent value to force completion (see PERF_NOTES.md).
+    return float(out[0].uq[0].loc.reshape(-1)[0])
+
+  n_lo, n_hi = (50, 200) if args.fast else (100, 400)
+  run_itinf(n_lo, 0)
+  run_itinf(n_hi, 0)
+  t0 = time.perf_counter(); run_itinf(n_lo, 1); t_lo = time.perf_counter() - t0
+  t0 = time.perf_counter(); run_itinf(n_hi, 1); t_hi = time.perf_counter() - t0
+  results["itinf_sga_steps_per_s_kodak"] = round((n_hi - n_lo) / (t_hi - t_lo), 1)
 
   # --- host rANS throughput ----------------------------------------------
   from shallow_ntc_tpu.codec import bindings, tables as tables_lib
