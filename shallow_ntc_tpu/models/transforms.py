@@ -581,16 +581,32 @@ class JPEGLikeSynthesis(nn.Module):
     return self.conv(x)
 
 
-def _final_deconv_packed(mid_p, kernel, bias, s1, s2, mid_channels):
-  """Final small deconv from phase space: keep a 2x2 spatial block packed in
-  channels when the mid tensor is channel-narrow, so the conv's contraction
-  and output dims stay lane-efficient (ops/fast_deconv.packed_conv_transpose).
+def _final_deconv_packed(mid_p, kernel, bias, s1, s2, mid_channels,
+                         allow_pallas=True):
+  """Final small deconv from phase space, picking the fastest valid lowering:
+
+  1. Pallas sparse-phase kernel (ops/pallas/twolayer_final.py): contracts
+     only the needed input phase blocks -- 2x faster than the dense packed
+     conv on TPU. Applies to the flagship geometry (s1=8, s2=2, k<=7,
+     even batch).
+  2. Fully-packed dense conv (packed_conv_transpose): the final conv runs on
+     the lane-dense phase tensor (~80% MXU on redundant FLOPs).
+  3. Plain subpixel path for wide-channel mid tensors.
   """
   from shallow_ntc_tpu.ops import fast_deconv as fd
 
-  # Fully-packed (pack == s1) measured fastest on TPU: the final conv runs
-  # directly on the lane-dense phase tensor, at ~80% MXU utilization despite
-  # the tap-window redundancy; one d2s(s1*s2) emits the image.
+  if (
+      allow_pallas  # pallas_call has no autodiff rule: inference paths only
+      and mid_channels < 64
+      and s1 == 8
+      and s2 == 2
+      and kernel.shape[0] <= 7
+      and mid_p.shape[0] % 2 == 0
+      and jax.default_backend() in ("tpu", "cpu")
+  ):
+    from shallow_ntc_tpu.ops.pallas.twolayer_final import final_deconv_phase
+
+    return final_deconv_phase(mid_p, kernel, bias, c_in=mid_channels)
   pack = s1 if mid_channels < 64 else 1
   if pack > 1:
     mid_packed = fd.partial_depth_to_space(mid_p, s1, pack)
@@ -667,6 +683,7 @@ class TwoLayerSynthesis(nn.Module):
       return _final_deconv_packed(
           x, p2["kernel"].astype(dtype), p2["bias"],
           self.strides[0], self.strides[1], self.channels[0],
+          allow_pallas=not training,
       )
     x = self.conv1(z)
     if self.act is not None:
@@ -755,6 +772,7 @@ class TwoLayerResSynthesis(nn.Module):
       return _final_deconv_packed(
           base_p + res_p, po["kernel"].astype(dtype), po["bias"],
           s1, self.strides[1], self.channels[0],
+          allow_pallas=not training,
       )
     base = self.base_conv(z)
     if self.base_act is not None:

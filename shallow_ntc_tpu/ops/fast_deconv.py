@@ -53,6 +53,99 @@ def _phase_geometry(k: int, s: int) -> Tuple[int, int, np.ndarray, np.ndarray]:
   return dmin, T, t_idx, valid
 
 
+def _phase_kernel_6d(kernel: jax.Array, stride: int):
+  """[k, k, C_in, C_out] -> ([T, s, T, s, C_in, C_out], dmin, T) where axes
+  are (j_h, r_h, j_w, r_w, ci, co); see phase_kernel for the mapping."""
+  k = kernel.shape[0]
+  s = stride
+  dmin, T, _, _ = _phase_geometry(k, s)
+  p = k - 1 - max(k - s, 0) // 2
+  start = p + s * dmin - s + 1
+  total = T * s
+  pad_front = max(0, -start)
+  pad_back = max(0, start + total - k)
+  kp = jnp.pad(kernel, ((pad_front, pad_back), (pad_front, pad_back), (0, 0), (0, 0)))
+  off = start + pad_front
+  kp = kp[off : off + total, off : off + total]
+  c_in, c_out = kernel.shape[2], kernel.shape[3]
+  w = kp.reshape(T, s, T, s, c_in, c_out)
+  w = w[:, ::-1, :, ::-1]  # r' = s-1-r  ->  phase order r
+  return w, dmin, T
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_groups(k: int, s: int):
+  """Group phases by their tap-window start; returns per-axis groups
+  [(j0, Tg, phases_tuple)] in j-index units relative to dmin."""
+  _, T, t_idx, valid = _phase_geometry(k, s)
+  by_start = {}
+  for r in range(s):
+    js = [j for j in range(T) if valid[r, j]]
+    j0 = min(js)
+    by_start.setdefault(j0, []).append(r)
+  groups = []
+  for j0, phases in sorted(by_start.items()):
+    jmax = max(
+        j for r in phases for j in range(T) if valid[r, j]
+    )
+    groups.append((j0, jmax - j0 + 1, tuple(phases)))
+  return tuple(groups)
+
+
+def grouped_phase_conv(
+    z: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    stride: int,
+    precision=None,
+) -> jax.Array:
+  """phase_conv with per-axis tap-window grouping: skips the zero tap padding
+  (e.g. k13s8 pads 13 effective taps/axis to 3*8=24; grouping uses 16),
+  trading one conv for a few + a static channel permutation. Output is the
+  same [B, h, w, s*s*C_out] phase tensor as phase_conv."""
+  s = stride
+  k = kernel.shape[0]
+  c_out = kernel.shape[3]
+  w6, dmin, T = _phase_kernel_6d(kernel, s)
+  groups = _phase_groups(k, s)
+  if len(groups) <= 1:
+    return phase_conv(z, kernel, bias, s, precision=precision)
+
+  dn = None
+  outs = []
+  order = []
+  for j0h, tgh, ph in groups:
+    for j0w, tgw, pw in groups:
+      wg = w6[j0h : j0h + tgh][:, jnp.asarray(ph)]
+      wg = wg[:, :, j0w : j0w + tgw][:, :, :, jnp.asarray(pw)]
+      # [tgh, |ph|, tgw, |pw|, ci, co] -> [tgh, tgw, ci, |ph|*|pw|*co]
+      wg = jnp.transpose(wg, (0, 2, 4, 1, 3, 5)).reshape(
+          tgh, tgw, kernel.shape[2], len(ph) * len(pw) * c_out
+      ).astype(z.dtype)
+      gmin_h, gmin_w = dmin + j0h, dmin + j0w
+      pad = [(-gmin_h, tgh - 1 + gmin_h), (-gmin_w, tgw - 1 + gmin_w)]
+      if dn is None or True:
+        dn_g = jax.lax.conv_dimension_numbers(
+            z.shape, wg.shape, ("NHWC", "HWIO", "NHWC")
+        )
+      outs.append(
+          jax.lax.conv_general_dilated(
+              z, wg, (1, 1), pad, dimension_numbers=dn_g, precision=precision
+          )
+      )
+      order.extend(
+          (rh * s + rw) * c_out + c
+          for rh in ph for rw in pw for c in range(c_out)
+      )
+  cat = jnp.concatenate(outs, axis=-1)
+  # invert the (group-concat) channel order back to canonical (r_h, r_w, c)
+  inv = np.argsort(np.asarray(order))
+  out = jnp.take(cat, jnp.asarray(inv), axis=-1)
+  if bias is not None:
+    out = out + jnp.tile(bias, s * s).astype(out.dtype)
+  return out
+
+
 def phase_kernel(kernel: jax.Array, stride: int) -> Tuple[jax.Array, int, int]:
   """[k, k, C_in, C_out] -> ([T, T, C_in, s*s*C_out], dmin, T).
 
