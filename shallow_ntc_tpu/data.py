@@ -147,9 +147,18 @@ class DatasetIterable:
       raise RuntimeError("No images large enough for the requested patchsize.")
     return idxs
 
+  def _native_loader_usable(self) -> bool:
+    """Use the C++ decode+crop fan-out for fixed-size crops when available."""
+    if self.crop is None:
+      return False
+    from shallow_ntc_tpu import dataio
+
+    return dataio.available()
+
   def _batches(self) -> Iterator[np.ndarray]:
     rng = np.random.default_rng(self.seed)
     idxs = self._eligible_indices()
+    use_native = self._native_loader_usable()
     while True:
       order = list(idxs)
       if self.shuffle:
@@ -157,6 +166,20 @@ class DatasetIterable:
       for start in range(0, len(order), self.batchsize):
         chunk = order[start : start + self.batchsize]
         if len(chunk) < self.batchsize and self.drop_remainder:
+          continue
+        if use_native:
+          from shallow_ntc_tpu import dataio
+
+          paths = [self.store.files[i] for i in chunk]
+          if self.crop == "random":
+            seeds = rng.integers(0, 2**62, len(chunk))
+          else:
+            seeds = [-1] * len(chunk)
+          batch = dataio.decode_crop_batch(paths, self.patchsize, seeds)
+          batch = batch.astype(np.float32)
+          if self.normalize:
+            batch = normalize_image(batch)
+          yield batch
           continue
         imgs = [
             process_image(
