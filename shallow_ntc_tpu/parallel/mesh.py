@@ -65,7 +65,8 @@ def shard_train_functions(mesh: Mesh, train_step, eval_step, state):
   batch_sh = batch_sharding(mesh)
   state = jax.device_put(jax.device_get(state), repl)
   train_jit = jax.jit(
-      train_step, in_shardings=(repl, batch_sh), out_shardings=(repl, None)
+      train_step, in_shardings=(repl, batch_sh), out_shardings=(repl, None),
+      donate_argnums=(0,),
   )
   eval_jit = jax.jit(eval_step, in_shardings=(repl, batch_sh))
   return train_jit, eval_jit, state

@@ -374,7 +374,9 @@ def simple_train_eval_loop(
         mesh, train_step, eval_step, state
     )
   else:
-    train_step = jax.jit(train_step)
+    # Donating the state buffers lets XLA update params/opt_state in place
+    # instead of copying them every step.
+    train_step = jax.jit(train_step, donate_argnums=(0,))
     eval_step = jax.jit(eval_step)
 
   start_step = int(state.step)
