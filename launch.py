@@ -78,11 +78,14 @@ def main(argv):
     )
   elif FLAGS.backend == "local":
     procs = []
+    xid = os.environ.get("SLURM_ARRAY_JOB_ID", uuid.uuid4().hex[:8])
+    logging.info("Experiment id (xid): %s", xid)
     for hid in range(num_units):
       cmd = f"{base_cmd} --hid {hid}"
       logging.info("Launching: %s", cmd)
-      env = dict(os.environ, SLURM_ARRAY_TASK_ID=str(hid))
-      env.setdefault("SLURM_ARRAY_JOB_ID", uuid.uuid4().hex[:8])
+      env = dict(
+          os.environ, SLURM_ARRAY_TASK_ID=str(hid), SLURM_ARRAY_JOB_ID=xid
+      )
       procs.append(subprocess.Popen(cmd.split(), env=env))
       while len([p for p in procs if p.poll() is None]) >= FLAGS.parallel:
         procs[0].wait()
