@@ -65,7 +65,10 @@ def main():
   from shallow_ntc_tpu.utils.jax_setup import setup_jax
 
   setup_jax(matmul_precision=None)
-  results = {"device": jax.devices()[0].device_kind}
+  results = {
+      "device": jax.devices()[0].device_kind,
+      "matmul_precision": "default (bf16 passes); train CLI parity default is highest",
+  }
   rng = np.random.default_rng(0)
   iters = 8 if args.fast else 16
 
