@@ -41,15 +41,32 @@ def infer_model_family(workdir: str, config: Mapping) -> str:
   return "mshyper"
 
 
+def load_model_class(models_path: str):
+  """Import a user-supplied model module and return its Model class.
+
+  The reference's eval.py --models_path equivalent (eval.py:46-49): the
+  module must define a flax `Model` class with the family method surface
+  (end_to_end_frame_loss / infer_latent_rvs / ...).
+  """
+  import importlib.util
+
+  spec = importlib.util.spec_from_file_location("_user_models", models_path)
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+  return mod.Model
+
+
 def load_latest_ckpt(
     workdir: str,
     model_family: Optional[str] = None,
     update_model_config: Optional[Mapping] = None,
+    model_cls: Optional[type] = None,
 ) -> Tuple[Any, Any, Dict]:
   """Rebuild the model from <workdir>/config.json and restore latest params.
 
   Returns (model, params, config). Mirrors reference eval_lib.py:11-53,
   including the update_model_config override used by itinf (configs/itinf.py).
+  `model_cls` overrides the family class (the --models_path path).
   """
   config = runname_utils.load_json(os.path.join(workdir, "config.json"))
   model_config = models_base.to_plain_dict(config["model_config"])
@@ -61,8 +78,14 @@ def load_latest_ckpt(
     model_config = _deep_update(
         model_config, models_base.to_plain_dict(update_model_config)
     )
-  family = model_family or infer_model_family(workdir, config)
-  model, _ = train_lib.build_model_from_config(model_config, family)
+  if model_cls is not None:
+    cfg = dict(model_config)
+    cfg.pop("optimizer_config", None)
+    cfg["offset_heuristic"] = models_base.effective_offset_heuristic(cfg)
+    model = model_cls(**cfg)
+  else:
+    family = model_family or infer_model_family(workdir, config)
+    model, _ = train_lib.build_model_from_config(model_config, family)
 
   # Abstract restore target: no device compute / XLA compile needed to load.
   state = train_lib.create_abstract_state(model, saved_optimizer_config, (64, 64, 3))
@@ -165,12 +188,15 @@ def eval_workdir(
     model_family: Optional[str] = None,
     lpips_fn=None,
     profile: bool = False,
+    model_cls: Optional[type] = None,
 ) -> Optional[str]:
   """Evaluate a trained workdir on a dataset; dump a flat JSON list of
   per-image metrics (reference eval_lib.py:56-105). With profile=True,
   per-transform wall times are attached to each record (the reference's
   profile mode, mshyper/models.py:142-149 / eval.py:22)."""
-  model, params, config = load_latest_ckpt(workdir, model_family)
+  model, params, config = load_latest_ckpt(
+      workdir, model_family, model_cls=model_cls
+  )
   step = config.get("_restored_step", 0)
 
   wu_name = os.path.basename(os.path.normpath(workdir))
