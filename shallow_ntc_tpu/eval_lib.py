@@ -129,35 +129,26 @@ def load_latest_ckpt_from_experiment(
   return load_latest_ckpt(workdir, model_family, update_model_config)
 
 
-def evaluate_images(model, params, images: Iterable, lpips_fn=None, step=0):
+def evaluate_images(
+    model, params, images: Iterable, lpips_fn=None, step=0, spatial_devices=1
+):
   """Per-image eval generator (reference mshyper/models.py:415-433).
 
   `images` yields [1, H, W, 3] normalized arrays (or a [B, ...] array, which
   is split to singles). Yields one metrics dict per image.
+
+  spatial_devices > 1 shards the image height over a 'spatial' mesh axis for
+  very-high-resolution inputs; XLA SPMD inserts the conv halo exchanges
+  (SURVEY.md section 2.8's sequence-parallel analogue; the reference handles
+  large images only by per-image eval + padding).
   """
-  model_cls = type(model)
-  eval_fn = jax.jit(
-      lambda p, x: model.apply(
-          {"params": p}, x, training=False, rng=None, step=step,
-          method=model_cls.end_to_end_frame_loss,
-      )
-  )
-  if hasattr(images, "shape"):
-    images = [images[i : i + 1] for i in range(images.shape[0])]
-  for img in images:
-    img = jnp.asarray(img)
-    if img.ndim == 3:
-      img = img[None]
-    _, metrics, rec = eval_fn(params, img)
-    out = {k: float(v) for k, v in jax.device_get(metrics).items()}
-    if lpips_fn is not None:
-      img255 = models_base.floats_to_pixels(img, training=False)
-      out["lpips"] = float(lpips_fn(img255, jnp.asarray(rec, jnp.float32)))
+  for out, _ in _eval_generator(model, params, images, lpips_fn, step,
+                                spatial_devices, with_shapes=True):
     yield out
 
 
-def _evaluate_with_shapes(model, params, images, lpips_fn, step):
-  """evaluate_images, also yielding each image's (padded-batch) shape."""
+def _eval_generator(model, params, images, lpips_fn, step, spatial_devices,
+                    with_shapes):
   model_cls = type(model)
   eval_fn = jax.jit(
       lambda p, x: model.apply(
@@ -165,18 +156,42 @@ def _evaluate_with_shapes(model, params, images, lpips_fn, step):
           method=model_cls.end_to_end_frame_loss,
       )
   )
+  mesh = None
+  if spatial_devices > 1:
+    from shallow_ntc_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(
+        spatial_devices, axis_names=("data", "spatial"),
+        axis_sizes=(1, spatial_devices),
+    )
+    params = jax.device_put(jax.device_get(params), mesh_lib.replicated(mesh))
+
   if hasattr(images, "shape"):
     images = [images[i : i + 1] for i in range(images.shape[0])]
   for img in images:
     img = jnp.asarray(img)
     if img.ndim == 3:
       img = img[None]
+    if mesh is not None:
+      from shallow_ntc_tpu.parallel import mesh as mesh_lib
+
+      img = jax.device_put(
+          jax.device_get(img), mesh_lib.spatial_sharding(mesh)
+      )
     _, metrics, rec = eval_fn(params, img)
     out = {k: float(v) for k, v in jax.device_get(metrics).items()}
     if lpips_fn is not None:
       img255 = models_base.floats_to_pixels(img, training=False)
       out["lpips"] = float(lpips_fn(img255, jnp.asarray(rec, jnp.float32)))
     yield out, tuple(img.shape)
+
+
+def _evaluate_with_shapes(model, params, images, lpips_fn, step,
+                          spatial_devices=1):
+  """evaluate_images, also yielding each image's (padded-batch) shape."""
+  for out, shape in _eval_generator(model, params, images, lpips_fn, step,
+                                    spatial_devices, with_shapes=True):
+    yield out, shape
 
 
 def eval_workdir(
@@ -189,6 +204,7 @@ def eval_workdir(
     lpips_fn=None,
     profile: bool = False,
     model_cls: Optional[type] = None,
+    spatial_devices: int = 1,
 ) -> Optional[str]:
   """Evaluate a trained workdir on a dataset; dump a flat JSON list of
   per-image metrics (reference eval_lib.py:56-105). With profile=True,
@@ -212,7 +228,8 @@ def eval_workdir(
   timing_cache: Dict[tuple, Dict[str, float]] = {}
   all_metrics: List[Dict] = []
   for instance_id, (metrics, img_shape) in enumerate(
-      _evaluate_with_shapes(model, params, eval_data, lpips_fn, step)
+      _evaluate_with_shapes(model, params, eval_data, lpips_fn, step,
+                            spatial_devices=spatial_devices)
   ):
     record = dict(metrics)
     if profile:

@@ -120,3 +120,17 @@ def test_put_batch_sharding(setup):
   arr = mesh_lib.put_batch(batch, mesh)
   assert arr.sharding == NamedSharding(mesh, P("data"))
   assert mesh_lib.put_batch(batch, None).shape == batch.shape
+
+
+def test_evaluate_images_spatial_sharded(setup):
+  """eval_lib.evaluate_images with spatial_devices matches unsharded metrics."""
+  from shallow_ntc_tpu import eval_lib
+
+  model, state, *_ = setup
+  img = np.random.default_rng(5).uniform(-0.5, 0.5, (1, 128, 64, 3)).astype(np.float32)
+  plain = list(eval_lib.evaluate_images(model, state.params, img))[0]
+  sharded = list(
+      eval_lib.evaluate_images(model, state.params, img, spatial_devices=4)
+  )[0]
+  for k in ("bpp", "psnr", "rd_loss"):
+    np.testing.assert_allclose(plain[k], sharded[k], rtol=1e-4)
