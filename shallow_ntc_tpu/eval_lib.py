@@ -143,12 +143,11 @@ def evaluate_images(
   large images only by per-image eval + padding).
   """
   for out, _ in _eval_generator(model, params, images, lpips_fn, step,
-                                spatial_devices, with_shapes=True):
+                                spatial_devices):
     yield out
 
 
-def _eval_generator(model, params, images, lpips_fn, step, spatial_devices,
-                    with_shapes):
+def _eval_generator(model, params, images, lpips_fn, step, spatial_devices):
   model_cls = type(model)
   eval_fn = jax.jit(
       lambda p, x: model.apply(
@@ -189,9 +188,8 @@ def _eval_generator(model, params, images, lpips_fn, step, spatial_devices,
 def _evaluate_with_shapes(model, params, images, lpips_fn, step,
                           spatial_devices=1):
   """evaluate_images, also yielding each image's (padded-batch) shape."""
-  for out, shape in _eval_generator(model, params, images, lpips_fn, step,
-                                    spatial_devices, with_shapes=True):
-    yield out, shape
+  yield from _eval_generator(model, params, images, lpips_fn, step,
+                             spatial_devices)
 
 
 def eval_workdir(
