@@ -1,68 +1,73 @@
 #!/usr/bin/env python
 """Convert a reference (TF) shallow-ntc checkpoint to a shallow_ntc_tpu one.
 
-Targets the released checkpoints (HF yiboyang/shallow-ntc-checkpoints) for
-golden R-D parity testing. The layout math (conv/deconv kernel layout + SAME
-geometry, GDN reparameterization, DeepFactorized parameter shapes) is
-validated in tests/test_tf_conversion.py; this script does the bookkeeping:
+Targets the released checkpoints (HF yiboyang/shallow-ntc-checkpoints,
+reference README.md:21) for golden R-D parity testing.
 
-  1. reads every variable in the TF checkpoint (tf.train.load_checkpoint),
-  2. builds the matching shallow_ntc_tpu model from the workdir's config.json,
-  3. pairs TF variables to flax params structurally -- grouped by object path
-     prefix, matched by (converted) shape within each transform, in layer
-     order -- applying the deconv transpose/flip where needed,
-  4. writes an orbax checkpoint usable by eval.py / compress.py.
+The mapping is *structural*, not heuristic: from the workdir's config.json we
+enumerate the exact tf.train.Checkpoint object paths the reference's
+keras-2.10 model produces (Sequential children as `layer_with_weights-N`,
+tfc.GDN under `<conv>/activation/<beta|gamma>_parameter/variable`,
+tfc.DeepFactorized under `_prior/_matrices/N`, ...) paired with our flax
+param paths and the deconv kernel conversion flag -- see
+shallow_ntc_tpu/utils/tf_convert.enumerate_transform_paths. Every variable is
+shape-checked and any unmatched variable (either side) is a hard error, so a
+layout drift can never silently produce a wrong checkpoint. Exercised end to
+end on a real on-disk TF checkpoint in tests/test_tf_parity.py.
 
-Run with --dump to list the checkpoint's variables (useful to extend the
-path-classification rules below for checkpoint layouts not yet seen).
+Run with --dump to list a checkpoint's variables (to extend the layout rules
+for checkpoint formats not yet seen).
 """
 
 import argparse
-import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-# Object-path fragments -> our module names.
-TRANSFORM_PREFIXES = {
-    "_analysis": "_analysis",
-    "_synthesis": "_synthesis",
-    "_hyper_analysis": "_hyper_analysis",
-    "_hyper_synthesis": "_hyper_synthesis",
-    "_prior": "_prior",
-    "prior": "_prior",
-}
-_DECONV_HINTS = ("_synthesis", "transpose")
+_SUFFIX = "/.ATTRIBUTES/VARIABLE_VALUE"
 
 
 def read_tf_variables(ckpt_path):
+  """All model variables in the checkpoint: relative object path -> ndarray."""
   import tensorflow as tf  # noqa: delayed heavy import
 
   reader = tf.train.load_checkpoint(ckpt_path)
-  shape_map = reader.get_variable_to_shape_map()
   out = {}
-  for name in shape_map:
-    if "optimizer" in name or ".OPTIMIZER" in name or "save_counter" in name:
+  for name in reader.get_variable_to_shape_map():
+    if ".OPTIMIZER_SLOT" in name or not name.endswith(_SUFFIX):
       continue
-    if "VARIABLE_VALUE" not in name and not name.startswith("model"):
-      continue
-    out[name] = reader.get_tensor(name)
+    rel = name[: -len(_SUFFIX)]
+    if not rel.startswith("model/"):
+      continue  # save_counter etc.
+    rel = rel[len("model/"):]
+    if rel.startswith("optimizer/"):
+      continue  # reference keeps Adam as a model attribute (models.py:85)
+    out[rel] = reader.get_tensor(name)
   return out
 
 
-def classify(name: str):
-  """Map a TF object path to (our transform name, sort key)."""
-  for frag, ours in TRANSFORM_PREFIXES.items():
-    if f"/{frag}/" in name or name.split("/")[1:2] == [frag]:
-      # sort by the numeric indices in the path for stable layer order
-      nums = tuple(int(x) for x in re.findall(r"\d+", name))
-      return ours, (nums, name)
-  return None, None
+def build_translation(config: dict, model_family: str):
+  """config.json -> {tf_relative_path: (our_param_path, needs_deconv_conv)}."""
+  from shallow_ntc_tpu.utils import tf_convert
+
+  tc = dict(config["model_config"]["transform_config"])
+  entries = []
+  entries += tf_convert.enumerate_transform_paths(
+      dict(tc["analysis"]), "_analysis", "_analysis")
+  entries += tf_convert.enumerate_transform_paths(
+      dict(tc["synthesis"]), "_synthesis", "_synthesis")
+  if model_family == "mshyper":
+    ha = dict(tc.get("hyper_analysis", dict(cls="HyperAnalysis")))
+    hs = dict(tc.get("hyper_synthesis", dict(cls="HyperSynthesis")))
+    entries += tf_convert.enumerate_transform_paths(
+        ha, "_hyper_analysis", "_hyper_analysis")
+    entries += tf_convert.enumerate_transform_paths(
+        hs, "_hyper_synthesis", "_hyper_synthesis")
+  entries += tf_convert.enumerate_prior_paths()
+  return {tf_path: (our_path, deconv) for tf_path, our_path, deconv in entries}
 
 
 def flatten_params(tree, prefix=()):
@@ -90,6 +95,7 @@ def convert(workdir_tf: str, out_workdir: str, model_family: str):
       model, optimizer_config, jax.random.PRNGKey(0), (64, 64, 3)
   )
   flat = flatten_params(jax.device_get(state.params))
+  table = build_translation(config, model_family)
 
   import tensorflow as tf
 
@@ -99,50 +105,44 @@ def convert(workdir_tf: str, out_workdir: str, model_family: str):
     raise SystemExit(f"No TF checkpoint under {ckpt_dir}")
   tf_vars = read_tf_variables(latest)
 
-  # Group both sides by transform, then greedily match by convertible shape.
-  ours_by_transform = {}
-  for path, arr in flat.items():
-    ours_by_transform.setdefault(path[0], []).append((path, arr))
-  tf_by_transform = {}
-  for name, arr in tf_vars.items():
-    t, key = classify(name)
-    if t is not None:
-      tf_by_transform.setdefault(t, []).append((key, name, arr))
-
   new_flat = dict(flat)
-  unmatched = []
-  for t, tf_list in tf_by_transform.items():
-    tf_list.sort()
-    ours = ours_by_transform.get(t, [])
-    used = set()
-    for _, name, arr in tf_list:
-      arr = np.asarray(arr)
-      hit = None
-      for i, (path, target) in enumerate(ours):
-        if i in used:
-          continue
-        if arr.shape == target.shape:
-          hit = (i, arr)
-          break
-        if (
-            arr.ndim == 4
-            and tf_convert.conv_transpose_kernel_tf_to_flax(arr).shape
-            == target.shape
-            and any(h in name.lower() or h in t for h in _DECONV_HINTS)
-        ):
-          hit = (i, tf_convert.conv_transpose_kernel_tf_to_flax(arr))
-          break
-      if hit is None:
-        unmatched.append(name)
-      else:
-        used.add(hit[0])
-        path = ours[hit[0]][0]
-        new_flat[path] = hit[1].astype(flat[path].dtype)
+  assigned = set()
+  unmatched, errors = [], []
+  for rel, arr in sorted(tf_vars.items()):
+    if rel not in table:
+      unmatched.append(rel)
+      continue
+    our_path, deconv = table[rel]
+    arr = np.asarray(arr)
+    if deconv:
+      arr = tf_convert.conv_transpose_kernel_tf_to_flax(arr)
+    if our_path not in flat:
+      errors.append(f"{rel} -> {'/'.join(our_path)}: no such flax param")
+      continue
+    if arr.shape != flat[our_path].shape:
+      errors.append(
+          f"{rel} -> {'/'.join(our_path)}: shape {arr.shape} vs "
+          f"{flat[our_path].shape}"
+      )
+      continue
+    new_flat[our_path] = arr.astype(flat[our_path].dtype)
+    assigned.add(our_path)
 
+  missing = sorted("/".join(p) for p in set(flat) - assigned)
+  problems = []
   if unmatched:
-    print("WARNING: unmatched TF variables (extend classify()/hints):")
-    for n in unmatched:
-      print("  ", n)
+    problems.append(
+        "TF variables with no layout rule (extend "
+        "tf_convert.enumerate_transform_paths):\n  " + "\n  ".join(unmatched)
+    )
+  if errors:
+    problems.append("mapping errors:\n  " + "\n  ".join(errors))
+  if missing:
+    problems.append(
+        "flax params not covered by the checkpoint:\n  " + "\n  ".join(missing)
+    )
+  if problems:
+    raise RuntimeError("checkpoint conversion failed:\n" + "\n".join(problems))
 
   # Rebuild the nested tree and save via the normal checkpoint machinery.
   params = {}
@@ -158,7 +158,7 @@ def convert(workdir_tf: str, out_workdir: str, model_family: str):
   manager = train_lib.make_checkpoint_manager(out_workdir)
   train_lib.save_checkpoint(manager, state)
   manager.wait_until_finished()
-  print(f"Wrote converted checkpoint to {out_workdir}")
+  print(f"Wrote converted checkpoint ({len(assigned)} params) to {out_workdir}")
 
 
 def main():

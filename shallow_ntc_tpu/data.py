@@ -20,7 +20,7 @@ import math
 import os
 import queue
 import threading
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -51,6 +51,19 @@ def check_image_size(image: np.ndarray, patchsize: int) -> bool:
       and image.shape[1] >= patchsize
       and image.shape[-1] == 3
   )
+
+
+def image_dimensions(filename) -> Tuple[int, int]:
+  """(height, width) from the file header only -- no pixel decode.
+
+  PIL's Image.open is lazy: it parses the PNG IHDR / JPEG SOF header and
+  defers pixel decoding, so startup eligibility scans over training-scale
+  globs (~100k JPEGs) are O(files), not O(pixels)."""
+  from PIL import Image
+
+  with Image.open(filename) as im:
+    w, h = im.size
+  return h, w
 
 
 def process_image(
@@ -105,6 +118,15 @@ class _ImageStore:
         self._cache_bytes += arr.nbytes
     return arr
 
+  def dimensions(self, idx: int) -> Tuple[int, int]:
+    """(height, width) without decoding pixels (unless already cached)."""
+    f = self.files[idx]
+    with self._lock:
+      hit = self._cache.get(f)
+    if hit is not None:
+      return hit.shape[0], hit.shape[1]
+    return image_dimensions(f)
+
 
 class DatasetIterable:
   """An iterable of numpy batches with known batch/patch configuration."""
@@ -140,7 +162,9 @@ class DatasetIterable:
     idxs = []
     for i in range(len(self.store)):
       if self.patchsize is not None:
-        if not check_image_size(self.store.get(i), self.patchsize):
+        # Header-only size check: startup is O(files), not O(pixels).
+        h, w = self.store.dimensions(i)
+        if h < self.patchsize or w < self.patchsize:
           continue
       idxs.append(i)
     if not idxs:
@@ -268,7 +292,6 @@ def get_dataset_from_glob(
   files = sorted(glob_lib.glob(os.path.expanduser(file_glob)))
   if not files:
     raise RuntimeError(f"No images found with glob '{file_glob}'.")
-  split = "train" if crop == "random" else ("test" if crop != "random" else "test")
   ds = DatasetIterable(
       _ImageStore(files),
       split="train" if crop == "random" else "test",
@@ -283,18 +306,84 @@ def get_dataset_from_glob(
   return ds
 
 
-def get_tfds_dataset(*args, **kwargs):  # pragma: no cover - optional dep
-  """tfds-backed path (reference data_lib.py:55-83); gated on availability."""
-  try:
-    import tensorflow_datasets  # noqa: F401
-  except ImportError as e:
-    raise RuntimeError(
-        "tensorflow_datasets is not available in this environment; use a "
-        "file-glob dataset spec instead (see project_configs.dataset_to_globs)."
-    ) from e
-  raise NotImplementedError(
-      "tfds datasets are not wired up in the TPU-native pipeline yet; "
-      "use a file glob."
+class TfdsDataset:
+  """tfds-backed iterable with the reference's semantics (data_lib.py:55-83).
+
+  tfds.load supplies raw examples; all post-processing (small-image filter,
+  crop, normalize, batching) is the same numpy path the glob pipeline uses,
+  so batches are TF-free and ready for jax.device_put. mnist/cifar keep the
+  reference's special cases (patchsize asserts, 1-channel mnist).
+  """
+
+  def __init__(self, name, split, shuffle, repeat, drop_remainder, batchsize,
+               crop=None, patchsize=None, normalize=True, seed=0):
+    if patchsize is not None:
+      if "cifar" in name:
+        assert patchsize <= 32, (name, patchsize)
+      elif "mnist" in name:
+        assert patchsize <= 28, (name, patchsize)
+    self.name = name
+    self.split = split
+    self.shuffle = shuffle
+    self.repeat = repeat
+    self.drop_remainder = drop_remainder
+    self.batchsize = batchsize
+    self.crop = crop
+    self.patchsize = patchsize
+    self.normalize = normalize
+    self.seed = seed
+    self.image_channels = 1 if "mnist" in name else 3
+
+  def _examples(self):
+    try:
+      import tensorflow_datasets as tfds
+    except ImportError as e:  # pragma: no cover - environment-dependent
+      raise RuntimeError(
+          "tensorflow_datasets is not available in this environment; use a "
+          "file-glob dataset spec instead (see project_configs.dataset_to_globs)."
+      ) from e
+    ds = tfds.load(self.name, split=self.split, shuffle_files=self.shuffle)
+    yield from tfds.as_numpy(ds)
+
+  def _filter(self, img) -> bool:
+    if self.patchsize is None or self.image_channels == 1:
+      return True
+    if "cifar" in self.name:
+      return True
+    return check_image_size(img, self.patchsize)
+
+  def __iter__(self) -> Iterator[np.ndarray]:
+    rng = np.random.default_rng(self.seed)
+    while True:
+      batch = []
+      for ex in self._examples():
+        img = np.asarray(ex["image"])
+        if img.ndim == 2:
+          img = img[..., None]
+        if not self._filter(img):
+          continue
+        img = process_image(
+            img, crop=self.crop, patchsize=self.patchsize,
+            normalize=self.normalize, rng=rng,
+        )
+        batch.append(img)
+        if len(batch) == self.batchsize:
+          yield np.stack(batch, axis=0)
+          batch = []
+      if batch and not self.drop_remainder:
+        yield np.stack(batch, axis=0)
+      if not self.repeat:
+        return
+
+
+def get_tfds_dataset(name, split, shuffle, repeat, drop_remainder, batchsize,
+                     crop=None, patchsize=None, normalize=True, seed=0):
+  """tfds-backed path (reference data_lib.py:55-83); requires tfds at
+  iteration time only, so environments without it can still import this
+  module and use glob datasets."""
+  return TfdsDataset(
+      name, split, shuffle, repeat, drop_remainder, batchsize,
+      crop=crop, patchsize=patchsize, normalize=normalize, seed=seed,
   )
 
 
@@ -320,9 +409,14 @@ def get_dataset(
         batchsize, patchsize or 256, num_batches=None if repeat else 16, seed=seed
     )
   if data_spec in ("clic", "mnist", "cifar10", "cifar100"):
+    # Reference split mapping (data_lib.py:125-134): the CLIC eval set is the
+    # tfds "validation" split; mnist/cifar use "test".
+    tfds_split = split
+    if split != "train":
+      tfds_split = "validation" if data_spec == "clic" else "test"
     return get_tfds_dataset(
-        data_spec, split, shuffle, repeat, drop_remainder, batchsize,
-        crop=crop, patchsize=patchsize, normalize=normalize,
+        data_spec, tfds_split, shuffle, repeat, drop_remainder, batchsize,
+        crop=crop, patchsize=patchsize, normalize=normalize, seed=seed,
     )
   if data_spec in project_configs.dataset_to_globs:
     file_glob = project_configs.dataset_to_globs[data_spec]

@@ -149,8 +149,12 @@ def make_activation(name: Optional[str]):
     return GDN1()
   if lowered in ("igdn", "igdn1"):
     return GDN1(inverse=True)
-  if lowered == "lrelu":
-    lowered = "leaky_relu"
+  if lowered in ("lrelu", "leaky_relu"):
+    # The reference resolves 'lrelu' to tf.nn.leaky_relu whose default slope
+    # is 0.2 (transforms.py:77-78); jax.nn.leaky_relu defaults to 0.01.
+    import functools
+
+    return functools.partial(jax.nn.leaky_relu, negative_slope=0.2)
   fn = getattr(jax.nn, lowered, None)
   if fn is None:
     raise ValueError(f"Unknown activation: {name}")
@@ -588,7 +592,9 @@ def _final_deconv_packed(mid_p, kernel, bias, s1, s2, mid_channels,
   1. Pallas sparse-phase kernel (ops/pallas/twolayer_final.py): contracts
      only the needed input phase blocks -- 2x faster than the dense packed
      conv on TPU. Applies to the flagship geometry (s1=8, s2=2, k<=7,
-     even batch).
+     even batch, 8*c_in <= 128 lanes). Differentiable via a custom VJP that
+     backpropagates through the exact XLA formulation, so training and itinf
+     use it too.
   2. Fully-packed dense conv (packed_conv_transpose): the final conv runs on
      the lane-dense phase tensor (~80% MXU on redundant FLOPs).
   3. Plain subpixel path for wide-channel mid tensors.
@@ -596,8 +602,8 @@ def _final_deconv_packed(mid_p, kernel, bias, s1, s2, mid_channels,
   from shallow_ntc_tpu.ops import fast_deconv as fd
 
   if (
-      allow_pallas  # pallas_call has no autodiff rule: inference paths only
-      and mid_channels < 64
+      allow_pallas
+      and s1 * mid_channels <= 128  # one padded 128-lane block per phase
       and s1 == 8
       and s2 == 2
       and kernel.shape[0] <= 7
@@ -683,7 +689,6 @@ class TwoLayerSynthesis(nn.Module):
       return _final_deconv_packed(
           x, p2["kernel"].astype(dtype), p2["bias"],
           self.strides[0], self.strides[1], self.channels[0],
-          allow_pallas=not training,
       )
     x = self.conv1(z)
     if self.act is not None:
@@ -736,9 +741,9 @@ class TwoLayerResSynthesis(nn.Module):
     if self.res_type == "conv":
       return self.res_conv(z)
     x = depth_to_space(z, 2)
-    x = jax.nn.leaky_relu(self.res_conv1(x))
+    x = jax.nn.leaky_relu(self.res_conv1(x), negative_slope=0.2)
     x = depth_to_space(x, 2)
-    x = jax.nn.leaky_relu(self.res_conv2(x))
+    x = jax.nn.leaky_relu(self.res_conv2(x), negative_slope=0.2)
     return depth_to_space(x, 2)
 
   def _can_fuse(self):
@@ -772,7 +777,6 @@ class TwoLayerResSynthesis(nn.Module):
       return _final_deconv_packed(
           base_p + res_p, po["kernel"].astype(dtype), po["bias"],
           s1, self.strides[1], self.channels[0],
-          allow_pallas=not training,
       )
     base = self.base_conv(z)
     if self.base_act is not None:

@@ -141,6 +141,17 @@ def _make_kernel(c_out: int, wl: int, dtype):
   return kernel_fn
 
 
+def _reference_final_deconv(mid_p, kernel, bias, c_in):
+  """Exact XLA formulation of the same function (fully differentiable)."""
+  from shallow_ntc_tpu.ops import fast_deconv as fd
+
+  del c_in
+  return fd.packed_conv_transpose(
+      fd.partial_depth_to_space(mid_p, S1, S1), kernel, bias, S2, S1
+  )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def final_deconv_phase(
     mid_p: jax.Array, kernel: jax.Array, bias, c_in: int
 ) -> jax.Array:
@@ -148,7 +159,35 @@ def final_deconv_phase(
 
   Equivalent to depth_to_space(mid_p, 8) followed by the SAME k-x-k stride-2
   conv-transpose `kernel` (+ bias). B must be even (batch pairs per cell).
+
+  Differentiable: pallas_call has no autodiff rule, so the custom VJP routes
+  the backward pass through the exact dense XLA formulation
+  (packed_conv_transpose) -- the same function, so gradients are exact; the
+  fast Pallas kernel keeps the forward pass (which training/itinf also runs).
   """
+  return _final_deconv_phase_impl(mid_p, kernel, bias, c_in)
+
+
+def _final_deconv_fwd(mid_p, kernel, bias, c_in):
+  return _final_deconv_phase_impl(mid_p, kernel, bias, c_in), (
+      mid_p, kernel, bias)
+
+
+def _final_deconv_bwd(c_in, residuals, g):
+  mid_p, kernel, bias = residuals
+  _, vjp = jax.vjp(
+      lambda m, k, b: _reference_final_deconv(m, k, b, c_in),
+      mid_p, kernel, bias,
+  )
+  return vjp(g)
+
+
+final_deconv_phase.defvjp(_final_deconv_fwd, _final_deconv_bwd)
+
+
+def _final_deconv_phase_impl(
+    mid_p: jax.Array, kernel: jax.Array, bias, c_in: int
+) -> jax.Array:
   b, h, wl, _ = mid_p.shape
   assert b % 2 == 0, "batch must be even for the pairing scheme"
   k = kernel.shape[0]

@@ -19,6 +19,11 @@ dataset_to_globs = dict(
     tecnick=os.path.join(_data_root, "Tecnick_TESTIMAGES", "RGB", "RGB_OR_1200x1200", "*.png"),
     pval=os.path.join(_data_root, "clic", "pval", "*.png"),
     cocotrain=os.path.join(_data_root, "coco", "train2017", "*.jpg"),
+    # Locally generated dead-leaves corpus (scripts/make_deadleaves_dataset.py)
+    # -- the in-environment stand-in for photographic train/eval data.
+    deadleaves_train=os.path.join(project_dir, "data", "deadleaves", "train", "*.png"),
+    deadleaves_valid=os.path.join(project_dir, "data", "deadleaves", "valid", "*.png"),
+    deadleaves_eval=os.path.join(project_dir, "data", "deadleaves", "eval", "*.png"),
 )
 
 # Abbreviations used when building runnames from config keys

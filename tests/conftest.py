@@ -9,6 +9,10 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# TF (used as the parity oracle in test_tf_parity.py) must not route convs
+# through oneDNN custom ops: they fail outright on some deconv geometries
+# ("could not create a primitive descriptor", mkl_conv_grad_input_ops.cc).
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 # Parity-sensitive numerics: run matmuls/convs in full f32 under test
 # (JAX's DEFAULT matmul precision uses reduced-precision passes).
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")

@@ -52,3 +52,55 @@ def test_jpegl_module_pallas_flag_k18_falls_back():
   params = mod.init(rng, z)
   out = mod.apply(params, z)  # k != s -> XLA path, no crash
   assert out.shape == (1, 64, 64, 3)
+
+
+def test_final_deconv_phase_custom_vjp_exact():
+  """Gradients through the Pallas forward must equal the pure-XLA gradients
+  (the custom VJP backpropagates through the exact dense formulation)."""
+  from shallow_ntc_tpu.ops import fast_deconv as fd
+  from shallow_ntc_tpu.ops.pallas import twolayer_final as tl
+
+  rng = np.random.default_rng(3)
+  c_in, c_out, k = 12, 3, 5
+  mid_p = jnp.asarray(rng.normal(0, 1, (2, 3, 4, 64 * c_in)).astype(np.float32))
+  kernel = jnp.asarray(rng.normal(0, 0.1, (k, k, c_in, c_out)).astype(np.float32))
+  bias = jnp.asarray(rng.normal(0, 0.1, (c_out,)).astype(np.float32))
+  cot = jnp.asarray(rng.normal(0, 1, (2, 48, 64, c_out)).astype(np.float32))
+
+  def loss_pallas(m, kk, b):
+    return jnp.vdot(tl.final_deconv_phase(m, kk, b, c_in), cot)
+
+  def loss_ref(m, kk, b):
+    y = fd.packed_conv_transpose(
+        fd.partial_depth_to_space(m, 8, 8), kk, b, 2, 8)
+    return jnp.vdot(y, cot)
+
+  g_pl = jax.grad(loss_pallas, argnums=(0, 1, 2))(mid_p, kernel, bias)
+  g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(mid_p, kernel, bias)
+  for a, b_ in zip(g_pl, g_ref):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_two_layer_res_train_mode_grads_match_unfused():
+  """End-to-end: fused (Pallas-forward) module grads == unfused module grads."""
+  cfg = dict(cls="TwoLayerResSynthesis", channels=(12, 3), strides=(8, 2),
+             kernel_sizes=(13, 5), activation_type="igdn", res_type="conv")
+  z = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 4, 16))
+  fused = T.build_transform(dict(cfg))
+  unfused = T.build_transform(dict(cfg), fused=False)
+  params = fused.init(jax.random.PRNGKey(0), z)
+
+  def loss(mod, p):
+    out = mod.apply(p, z, training=True)
+    return jnp.sum(out**2)
+
+  lf, gf = jax.value_and_grad(lambda p: loss(fused, p))(params)
+  lu, gu = jax.value_and_grad(lambda p: loss(unfused, p))(params)
+  np.testing.assert_allclose(float(lf), float(lu), rtol=1e-5)
+  flat_f = jax.tree_util.tree_leaves_with_path(gf)
+  flat_u = {jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_leaves_with_path(gu)}
+  for path, v in flat_f:
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(flat_u[jax.tree_util.keystr(path)]),
+        rtol=1e-4, atol=1e-5, err_msg=jax.tree_util.keystr(path))
