@@ -72,8 +72,14 @@ def process_image(
     patchsize: Optional[int] = None,
     normalize: bool = True,
     rng: Optional[np.random.Generator] = None,
+    keep_uint8: bool = False,
 ) -> np.ndarray:
-  """Crop + cast + normalize one image (reference data_lib.py:32-45)."""
+  """Crop + cast + normalize one image (reference data_lib.py:32-45).
+
+  keep_uint8=True skips the float cast/normalize: the training loop ships
+  uint8 crops to the device (4x less host->device traffic) and normalizes
+  there (train_lib window step).
+  """
   if crop is not None:
     assert patchsize and patchsize > 0
     h, w = image.shape[:2]
@@ -86,6 +92,8 @@ def process_image(
     else:
       raise NotImplementedError(crop)
     image = image[i : i + patchsize, j : j + patchsize]
+  if keep_uint8:
+    return np.ascontiguousarray(image)
   image = image.astype(np.float32)
   if normalize:
     image = normalize_image(image)
@@ -101,6 +109,10 @@ class _ImageStore:
     self._cache_bytes = 0
     self._cache_limit = cache_limit_bytes
     self._lock = threading.Lock()
+
+  @property
+  def cache_limit(self) -> int:
+    return self._cache_limit
 
   def __len__(self):
     return len(self.files)
@@ -142,7 +154,8 @@ class DatasetIterable:
       repeat: bool = False,
       drop_remainder: bool = False,
       seed: int = 0,
-      prefetch: int = 2,
+      prefetch: int = 4,
+      raw_uint8: bool = False,
   ):
     self.store = store
     self.split = split
@@ -154,6 +167,7 @@ class DatasetIterable:
     self.drop_remainder = drop_remainder
     self.seed = seed
     self.prefetch = prefetch
+    self.raw_uint8 = raw_uint8
     self.crop = None
     if patchsize is not None:
       self.crop = "random" if split == "train" else "center"
@@ -172,12 +186,24 @@ class DatasetIterable:
     return idxs
 
   def _native_loader_usable(self) -> bool:
-    """Use the C++ decode+crop fan-out for fixed-size crops when available."""
+    """Use the C++ decode+crop fan-out for fixed-size crops when available.
+
+    Only worthwhile when the decoded dataset cannot live in the RAM cache:
+    cached numpy crops (~2 ms/batch) beat re-decoding every epoch (~35
+    ms/batch), so the native path is for COCO-scale corpora that exceed the
+    cache budget (estimated as compressed bytes x a ~10x decode expansion).
+    """
     if self.crop is None:
       return False
     from shallow_ntc_tpu import dataio
 
-    return dataio.available()
+    if not dataio.available():
+      return False
+    try:
+      compressed = sum(os.path.getsize(f) for f in self.store.files)
+    except OSError:
+      return True
+    return compressed * 10 > self.store.cache_limit
 
   def _batches(self) -> Iterator[np.ndarray]:
     rng = np.random.default_rng(self.seed)
@@ -200,9 +226,10 @@ class DatasetIterable:
           else:
             seeds = [-1] * len(chunk)
           batch = dataio.decode_crop_batch(paths, self.patchsize, seeds)
-          batch = batch.astype(np.float32)
-          if self.normalize:
-            batch = normalize_image(batch)
+          if not self.raw_uint8:
+            batch = batch.astype(np.float32)
+            if self.normalize:
+              batch = normalize_image(batch)
           yield batch
           continue
         imgs = [
@@ -212,6 +239,7 @@ class DatasetIterable:
                 patchsize=self.patchsize,
                 normalize=self.normalize,
                 rng=rng,
+                keep_uint8=self.raw_uint8,
             )
             for i in chunk
         ]
@@ -259,12 +287,14 @@ class DatasetIterable:
 class SyntheticDataset:
   """Deterministic random-image source for tests/benchmarks (no files needed)."""
 
-  def __init__(self, batchsize, patchsize, num_batches=None, seed=0, normalize=True):
+  def __init__(self, batchsize, patchsize, num_batches=None, seed=0,
+               normalize=True, raw_uint8=False):
     self.batchsize = batchsize
     self.patchsize = patchsize
     self.num_batches = num_batches
     self.seed = seed
     self.normalize = normalize
+    self.raw_uint8 = raw_uint8
 
   def __iter__(self):
     rng = np.random.default_rng(self.seed)
@@ -272,8 +302,12 @@ class SyntheticDataset:
     while self.num_batches is None or i < self.num_batches:
       img = rng.integers(
           0, 256, (self.batchsize, self.patchsize, self.patchsize, 3)
-      ).astype(np.float32)
-      yield normalize_image(img) if self.normalize else img
+      )
+      if self.raw_uint8:
+        yield img.astype(np.uint8)
+      else:
+        img = img.astype(np.float32)
+        yield normalize_image(img) if self.normalize else img
       i += 1
 
 
@@ -287,6 +321,7 @@ def get_dataset_from_glob(
     patchsize=None,
     normalize=True,
     seed: int = 0,
+    raw_uint8: bool = False,
 ) -> DatasetIterable:
   """Pipeline over PNG/JPEG files (reference data_lib.py:86-109)."""
   files = sorted(glob_lib.glob(os.path.expanduser(file_glob)))
@@ -302,6 +337,7 @@ def get_dataset_from_glob(
       repeat=repeat,
       drop_remainder=drop_remainder,
       seed=seed,
+      raw_uint8=raw_uint8,
   )
   return ds
 
@@ -394,9 +430,14 @@ def get_dataset(
     patchsize: Optional[int],
     normalize: bool = True,
     seed: int = 0,
+    raw_uint8: bool = False,
 ):
   """Dataset dispatcher with the reference's name-resolution rules
-  (data_lib.py:113-147)."""
+  (data_lib.py:113-147).
+
+  raw_uint8=True yields uint8 crops (no normalize): the train loop transfers
+  them to the device and normalizes there, quartering host->device traffic.
+  """
   if split == "train":
     shuffle, repeat, drop_remainder = True, True, True
     crop = "random" if patchsize is not None else None
@@ -406,7 +447,8 @@ def get_dataset(
 
   if data_spec == "synthetic":
     return SyntheticDataset(
-        batchsize, patchsize or 256, num_batches=None if repeat else 16, seed=seed
+        batchsize, patchsize or 256, num_batches=None if repeat else 16,
+        seed=seed, raw_uint8=raw_uint8,
     )
   if data_spec in ("clic", "mnist", "cifar10", "cifar100"):
     # Reference split mapping (data_lib.py:125-134): the CLIC eval set is the
@@ -425,4 +467,5 @@ def get_dataset(
   return get_dataset_from_glob(
       file_glob, shuffle, repeat, drop_remainder, batchsize,
       crop=crop, patchsize=patchsize, normalize=normalize, seed=seed,
+      raw_uint8=raw_uint8,
   )

@@ -44,10 +44,14 @@ SCALE_FACTOR = (math.log(SCALE_MAX) - math.log(SCALE_MIN)) / (NUM_SCALES - 1.0)
 CODING_RANK = 3
 
 LOG2_E = 1.0 / math.log(2.0)
-# Probability floor: log(1e-38) ~ -126 bits/element; numerically inert but
-# keeps f32 gradients finite in extreme tails (the reference instead relied on
-# tf.debugging.check_numerics to crash, mshyper/models.py:308-309).
-_LIKELIHOOD_FLOOR = 1e-38
+# Likelihood floor = tfc's ContinuousEntropyModel `likelihood_bound` default
+# (1e-9), for training-dynamics parity with the reference. Must be a *normal*
+# f32: TPUs flush subnormals to zero, so a 1e-38 floor silently becomes 0 and
+# a fully underflowed tail likelihood yields log(0) = -inf bits -> NaN grads
+# (observed: flagship run diverging at ~500 steps on TPU while bit-identical
+# CPU math stayed finite).
+_LIKELIHOOD_FLOOR = 1e-9
+_LOG_LIKELIHOOD_FLOOR = math.log(_LIKELIHOOD_FLOOR)
 
 
 def scale_fn(i):
@@ -75,12 +79,13 @@ def noisy_normal_log_prob(centered: jax.Array, scale: jax.Array) -> jax.Array:
   p(y) = Phi((y+.5)/s) - Phi((y-.5)/s). Computed in the log domain via
   log_ndtr on the *left* tail (exploiting symmetry p(y)=p(-y)) so that values
   deep in the tails keep finite, useful gradients -- the same stabilization
-  tfc's UniformNoiseAdapter uses (logsum_expbig_minus_expsmall).
+  tfc's UniformNoiseAdapter uses (logsum_expbig_minus_expsmall) -- and clipped
+  at the tfc likelihood bound (identity-if-towards gradient).
   """
   y = -jnp.abs(centered)
   big = log_ndtr((y + 0.5) / scale)
   small = log_ndtr((y - 0.5) / scale)
-  return _stable_log_diff(big, small)
+  return lower_bound(_stable_log_diff(big, small), _LOG_LIKELIHOOD_FLOOR)
 
 
 # ---------------------------------------------------------------------------

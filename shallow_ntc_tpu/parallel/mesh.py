@@ -72,6 +72,36 @@ def shard_train_functions(mesh: Mesh, train_step, eval_step, state):
   return train_jit, eval_jit, state
 
 
+def window_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+  """Shard the per-step batch dim of a [W, B, H, W, C] scan window."""
+  return NamedSharding(mesh, P(None, axis))
+
+
+def shard_window_functions(mesh: Mesh, window_step, eval_step, state):
+  """jit a windowed (scan-of-steps) train fn + eval step with DP shardings.
+
+  The window is [W, B, ...]: W consumed sequentially by lax.scan, B sharded
+  over the 'data' axis; params replicated, gradient all-reduce inserted by
+  XLA per scanned step.
+  """
+  repl = replicated(mesh)
+  wsh = window_sharding(mesh)
+  state = jax.device_put(jax.device_get(state), repl)
+  train_jit = jax.jit(
+      window_step, in_shardings=(repl, wsh), out_shardings=(repl, None),
+      donate_argnums=(0,),
+  )
+  eval_jit = jax.jit(eval_step, in_shardings=(repl, batch_sharding(mesh)))
+  return train_jit, eval_jit, state
+
+
+def put_window(window, mesh: Optional[Mesh]):
+  """Transfer a [W, B, ...] window, per-step batch sharded over 'data'."""
+  if mesh is None:
+    return jax.device_put(window)
+  return jax.device_put(window, window_sharding(mesh))
+
+
 def put_batch(batch, mesh: Optional[Mesh]):
   """Transfer a host batch to device(s), sharded over 'data' if mesh given."""
   if mesh is None:

@@ -93,12 +93,23 @@ class TestNoisyNormal:
     np.testing.assert_allclose(got, expected, rtol=5e-4, atol=1e-6)
 
   def test_tail_is_finite(self):
+    # Deep tail: clamped at the tfc likelihood bound (1e-9), never -inf --
+    # and the clamp must survive TPU subnormal flush-to-zero semantics.
     lp = entropy.noisy_normal_log_prob(jnp.float32(300.0), jnp.float32(0.11))
     assert np.isfinite(float(lp))
-    g = jax.grad(lambda y: entropy.noisy_normal_log_prob(y, jnp.float32(0.2)))(
-        jnp.float32(30.0)
+    np.testing.assert_allclose(float(lp), np.log(1e-9), rtol=1e-5)
+    # Through the loss direction (minimize -log_prob = bits), the
+    # identity-if-towards bound passes the corrective gradient even from
+    # inside the clamped region: the loss still pulls y back toward mass.
+    g = jax.grad(
+        lambda y: -entropy.noisy_normal_log_prob(y, jnp.float32(0.2))
+    )(jnp.float32(30.0))
+    assert np.isfinite(float(g)) and float(g) > 0
+    # Near-tail (p ~ 1e-7, above the bound): plain negative slope.
+    g2 = jax.grad(lambda y: entropy.noisy_normal_log_prob(y, jnp.float32(1.0)))(
+        jnp.float32(5.0)
     )
-    assert np.isfinite(float(g)) and float(g) < 0
+    assert np.isfinite(float(g2)) and float(g2) < 0
 
   def test_scale_table(self):
     np.testing.assert_allclose(float(entropy.scale_fn(0)), 0.11, rtol=1e-5)

@@ -169,12 +169,14 @@ def test_noisy_normal_vs_scipy():
   y64, s64 = y.astype(np.float64), scale.astype(np.float64)
   p = scipy_stats.norm.cdf(y64 + 0.5, scale=s64) - scipy_stats.norm.cdf(
       y64 - 0.5, scale=s64)
-  bulk = p > 1e-12
+  bulk = p > 1e-8
   np.testing.assert_allclose(ours[bulk], np.log(p[bulk]), rtol=1e-4,
                              atol=1e-5)
-  # Deep tail: f32 log_ndtr keeps ~1% relative accuracy down to p ~ 1e-30.
-  tail = (p > 1e-30) & ~bulk
-  np.testing.assert_allclose(ours[tail], np.log(p[tail]), rtol=1e-2)
+  # Below the tfc likelihood bound (1e-9) the log-prob clamps -- and the clamp
+  # must hold on every backend (a subnormal floor would flush to 0 on TPU).
+  tail = p < 1e-10
+  if tail.any():
+    np.testing.assert_allclose(ours[tail], np.log(1e-9), rtol=1e-5)
 
 
 def _np_deep_factorized_logits(x, matrices, biases, factors):
@@ -242,7 +244,7 @@ def test_deep_factorized_noisy_log_prob_vs_float64():
   up = _np_deep_factorized_logits(y + 0.5, matrices, biases, factors)
   lo = _np_deep_factorized_logits(y - 0.5, matrices, biases, factors)
   p = sigmoid64(up) - sigmoid64(lo)
-  keep = p > 1e-12  # float64 sigmoid difference saturates in the tails
+  keep = p > 1e-8  # below the tfc likelihood bound the log-prob clamps
   np.testing.assert_allclose(ours[keep], np.log(p[keep]), rtol=1e-3,
                              atol=1e-4)
 
