@@ -134,14 +134,21 @@ def itinf_on_data_batch(
     latents, opt_state, metrics_seq = scan_jit(
         params, batch, latents, opt_state, step, n_steps=seg, rng=rng
     )
-    metrics_seq = jax.device_get(metrics_seq)
+    # Fetch only the logged rows (+ the segment's last): a full-segment
+    # device_get shipped seg x ~10 scalars through the ~25 ms/fetch tunnel
+    # every segment for values that were never written.
+    log_idx = list(range(log_every - 1, seg, log_every))
+    fetch_idx = jnp.asarray(log_idx + ([] if log_idx[-1:] == [seg - 1] else [seg - 1]))
+    picked = jax.device_get(
+        jax.tree_util.tree_map(lambda v: v[fetch_idx], metrics_seq)
+    )
     if writer is not None:
-      for i in range(log_every - 1, seg, log_every):
+      for row, i in enumerate(log_idx):
         writer.write_scalars(
-            step + i + 1, {k: float(v[i]) for k, v in metrics_seq.items()}
+            step + i + 1, {k: float(v[row]) for k, v in picked.items()}
         )
     step += seg
-    last_train_metrics = {k: float(v[-1]) for k, v in metrics_seq.items()}
+    last_train_metrics = {k: float(v[-1]) for k, v in picked.items()}
     val_metrics, _ = eval_jit(params, batch, latents, step)
     last_val_metrics = {k: float(v) for k, v in jax.device_get(val_metrics).items()}
     if val_writer is not None:

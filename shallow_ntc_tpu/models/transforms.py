@@ -771,12 +771,23 @@ class TwoLayerResSynthesis(nn.Module):
       pr = self.res_conv.variables["params"]
       po = self.out_conv.variables["params"]
       s1 = self.strides[0]
-      base_p = fd.phase_conv(z, pb["kernel"].astype(dtype), pb["bias"], s1)
+      c = self.channels[0]
+      # base and res are two deconvs of the same input: run them as ONE
+      # phase conv over concatenated output channels (one pass over z, one
+      # dispatch, 2x wider matmul N) and split in phase space.
+      kernel_br = jnp.concatenate(
+          [pb["kernel"].astype(dtype), pr["kernel"].astype(dtype)], axis=-1
+      )
+      bias_br = jnp.concatenate([pb["bias"], pr["bias"]], axis=-1)
+      both_p = fd.phase_conv(z, kernel_br, bias_br, s1)
+      # phase layout is [.., s*s*(2c)] with the 2c split innermost.
+      base_p = both_p.reshape(both_p.shape[:-1] + (s1 * s1, 2 * c))
+      res_p = base_p[..., c:].reshape(both_p.shape[:-1] + (s1 * s1 * c,))
+      base_p = base_p[..., :c].reshape(both_p.shape[:-1] + (s1 * s1 * c,))
       base_p = _apply_act_phase(self.base_act, base_p, s1, dtype)
-      res_p = fd.phase_conv(z, pr["kernel"].astype(dtype), pr["bias"], s1)
       return _final_deconv_packed(
           base_p + res_p, po["kernel"].astype(dtype), po["bias"],
-          s1, self.strides[1], self.channels[0],
+          s1, self.strides[1], c,
       )
     base = self.base_conv(z)
     if self.base_act is not None:

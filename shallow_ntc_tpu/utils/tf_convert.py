@@ -131,6 +131,39 @@ def elic_analysis_manifest(channels, num_residual_blocks):
   return entries
 
 
+def elic_synthesis_manifest(channels, num_residual_blocks):
+  """Keras-layer-order manifest of ElicSynthesis._transform (reference
+  elic.py:218-236): SA, deconv0, RBs, deconv1, SA, RBs, deconv2
+  [, RBs, deconv3]. Deconvs are flax FastConvTranspose_i modules."""
+  nc = len(channels)
+  if nc not in (3, 4):
+    raise ValueError(f"ELIC uses 3 or 4 conv layers (not {channels}).")
+  entries = []
+  counters = {"deconv": 0, "resblock": 0, "attention": 0}
+
+  def add(kind):
+    prefix = {"deconv": "FastConvTranspose", "resblock": "ResidualBlock",
+              "attention": "SimpleAttention"}[kind]
+    entries.append((kind, f"{prefix}_{counters[kind]}"))
+    counters[kind] += 1
+
+  def add_rbs():
+    for _ in range(num_residual_blocks):
+      add("resblock")
+
+  add("attention")
+  add("deconv")
+  add_rbs()
+  add("deconv")
+  add("attention")
+  add_rbs()
+  add("deconv")
+  if nc == 4:
+    add_rbs()
+    add("deconv")
+  return entries
+
+
 def enumerate_transform_paths(cfg: dict, tf_attr: str, our_attr: str):
   """All (tf_checkpoint_path, our_param_path, needs_deconv_conversion) for one
   transform config dict, in the reference checkpoint layout.
@@ -159,6 +192,17 @@ def enumerate_transform_paths(cfg: dict, tf_attr: str, our_attr: str):
       tf_prefix = f"{tf_attr}/_transform/layer_with_weights-{i}"
       if kind == "conv":
         out += _conv_entries(tf_prefix, (our_attr, name), deconv=False)
+      elif kind == "resblock":
+        out += _resblock_entries(tf_prefix, (our_attr, name))
+      else:
+        out += _attention_entries(tf_prefix, (our_attr, name))
+  elif cls == "ElicSynthesis":
+    channels = tuple(cfg.get("channels", (192, 160, 128, 3)))
+    nrb = cfg.get("num_residual_blocks", 3)
+    for i, (kind, name) in enumerate(elic_synthesis_manifest(channels, nrb)):
+      tf_prefix = f"{tf_attr}/_transform/layer_with_weights-{i}"
+      if kind == "deconv":
+        out += _conv_entries(tf_prefix, (our_attr, name), deconv=True)
       elif kind == "resblock":
         out += _resblock_entries(tf_prefix, (our_attr, name))
       else:

@@ -106,6 +106,9 @@ TRANSFORM_CASES = [
      dict(cls="ElicAnalysis", channels=(8, 10, 12), kernel_sizes=(5, 5, 5),
           strides=(2, 2, 2), num_residual_blocks=1),
      (1, 16, 16, 3), 2e-5),
+    ("elic_synthesis",
+     dict(cls="ElicSynthesis", channels=(12, 10, 8, 3), num_residual_blocks=1),
+     (1, 4, 4, 14), 5e-5),
     ("two_layer_res_conv",
      dict(cls="TwoLayerResSynthesis", channels=(12, 3), strides=(8, 2),
           kernel_sizes=(13, 5), activation_type="igdn", res_type="conv"),

@@ -322,6 +322,23 @@ def mirror_transform(cfg: dict, flax_params) -> tf.Module:
       else:
         layers.append(_tf_attention(flax_params, (name,)))
     return TFElicWrapper(TFSequential(layers))
+  if cls == "ElicSynthesis":
+    channels = tuple(cfg.get("channels", (192, 160, 128, 3)))
+    kernels = tuple(cfg.get("kernel_sizes", (5,) * len(channels)))
+    strides = tuple(cfg.get("strides", (2,) * len(channels)))
+    nrb = cfg.get("num_residual_blocks", 3)
+    manifest = tf_convert.elic_synthesis_manifest(channels, nrb)
+    deconv_specs = iter(zip(kernels, strides))
+    layers = []
+    for kind, name in manifest:
+      if kind == "deconv":
+        _, s = next(deconv_specs)
+        layers.append(_tf_deconv(flax_params, (name,), s, None))
+      elif kind == "resblock":
+        layers.append(_tf_resblock(flax_params, (name,)))
+      else:
+        layers.append(_tf_attention(flax_params, (name,)))
+    return TFElicWrapper(TFSequential(layers))
   if cls == "TwoLayerResSynthesis":
     act_name = cfg.get("activation_type", "igdn")
     strides = tuple(cfg.get("strides", (8, 2)))

@@ -35,6 +35,7 @@ def get_config():
       checkpoint_every_steps=5_000,
       eval_every_steps=5_000,
       max_validation_steps=4,
+      steps_per_dispatch=25,  # lax.scan window per dispatch (tunnel latency)
   )
 
   config.model_config = dict(
