@@ -33,6 +33,20 @@ from shallow_ntc_tpu.ops import entropy, metrics_ops
 MAGIC = b"SNTC"
 VERSION = 1
 
+# Fixed (rate-independent) bytes in a bitstream: the container framing plus
+# the rANS final-state flush per stream. Everything else is entropy-coded
+# payload, whose overhead vs the likelihood bound is budgeted at <= 0.5%
+# (SURVEY section 4); a trained flagship measures ~0.23% end-to-end
+# *including* these fixed bytes (results/codec_overhead_15k.json).
+HEADER_BYTES = 10  # MAGIC + <BBHH>(version, family, h, w)
+CHUNK_LEN_BYTES = 4  # <I> length prefix per stream
+RANS_FLUSH_BYTES = 4  # 32-bit final state per stream (rans.cc flush())
+
+
+def fixed_overhead_bytes(num_streams: int) -> int:
+  """Exact rate-independent byte count of a bitstream with `num_streams`."""
+  return HEADER_BYTES + num_streams * (CHUNK_LEN_BYTES + RANS_FLUSH_BYTES)
+
 
 def _pack_header(version, family_id, h, w, extra=b""):
   return MAGIC + struct.pack("<BBHH", version, family_id, h, w) + extra

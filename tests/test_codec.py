@@ -142,8 +142,12 @@ class TestModelCodecs:
   def test_mshyper_bpp_close_to_likelihood(self, mshyper_setup):
     """Real-bitstream bpp should be close to the eval likelihood bpp.
 
-    The codec pays small overheads (16-bit CDF quantization, integer-snapped
-    scale indexes, header, rANS flush), so allow a modest margin.
+    SURVEY section 4 budgets the entropy-coded payload at <= 0.5% over the
+    likelihood bound (a trained flagship measures ~0.23% end-to-end incl.
+    header: results/codec_overhead_15k.json). This toy model's rate is near
+    zero (~126 payload bytes at 128x128), so the rate-independent bytes
+    (header + chunk framing + rANS flush) are accounted exactly via
+    codec_api.fixed_overhead_bytes rather than hidden in a loose margin.
     """
     model, params = mshyper_setup
     codec = codec_api.make_codec(model, params)
@@ -157,7 +161,8 @@ class TestModelCodecs:
     )
     likelihood_bpp = float(metrics["bpp"])
     assert result.bpp >= likelihood_bpp * 0.98  # can't beat the model's entropy
-    assert result.bpp <= likelihood_bpp * 1.10 + 0.02
+    fixed_bpp = codec_api.fixed_overhead_bytes(num_streams=2) * 8 / (128 * 128)
+    assert result.bpp <= likelihood_bpp * 1.005 + fixed_bpp
 
   def test_factorized_roundtrip(self):
     from shallow_ntc_tpu.models import factorized as factorized_models
@@ -183,4 +188,5 @@ class TestModelCodecs:
         {"params": params}, jnp.asarray(img[None]), training=False, rng=None,
         step=20, method=type(model).end_to_end_frame_loss,
     )
-    assert result.bpp <= float(metrics["bpp"]) * 1.10 + 0.02
+    fixed_bpp = codec_api.fixed_overhead_bytes(num_streams=1) * 8 / (80 * 96)
+    assert result.bpp <= float(metrics["bpp"]) * 1.005 + fixed_bpp
