@@ -621,8 +621,8 @@ def _final_deconv_packed(mid_p, kernel, bias, s1, s2, mid_channels,
   return fd.fast_conv_transpose(mid, kernel, bias, s2)
 
 
-def _apply_act_phase(act, x_p, stride, dtype):
-  """Apply an activation to a phase-space tensor [.., s*s*C]."""
+def _apply_act_phase(act, x_p, num_phases, dtype):
+  """Apply an activation to a phase-space tensor [.., num_phases*C]."""
   if act is None:
     return x_p
   if isinstance(act, GDN):
@@ -632,7 +632,7 @@ def _apply_act_phase(act, x_p, stride, dtype):
     beta = _nonneg(p["beta"], 1e-6).astype(dtype)
     gamma = _nonneg(p["gamma"], 0.0).astype(dtype)
     return fd.gdn_phase(
-        x_p, beta, gamma, stride, act.inverse, act.alpha, act.epsilon
+        x_p, beta, gamma, num_phases, act.inverse, act.alpha, act.epsilon
     )
   return act(x_p)  # pointwise activations are phase-agnostic
 
@@ -680,15 +680,28 @@ class TwoLayerSynthesis(nn.Module):
       from shallow_ntc_tpu.ops import fast_deconv as fd
 
       dtype = self.dtype or z.dtype
+      s1 = self.strides[0]
       p1 = self.conv1.variables["params"]
-      x = fd.phase_conv(
-          z.astype(dtype), p1["kernel"].astype(dtype), p1["bias"], self.strides[0]
-      )
-      x = _apply_act_phase(self.act, x, self.strides[0], dtype)
+      k1 = p1["kernel"].astype(dtype)
+      if len(fd._phase_groups(self.kernel_sizes[0], s1)) > 1:
+        # Tap-window grouped phase conv (k13s8: 4/9 of the dense FLOPs are
+        # zero tap padding); the activation applies per group piece and the
+        # canonical layout is restored with static contiguous slices.
+        pieces, plists = fd.grouped_phase_pieces(
+            z.astype(dtype), k1, p1["bias"], s1
+        )
+        pieces = [
+            _apply_act_phase(self.act, piece, len(ph), dtype)
+            for piece, ph in zip(pieces, plists)
+        ]
+        x = fd.canonicalize_pieces(pieces, plists, self.channels[0])
+      else:
+        x = fd.phase_conv(z.astype(dtype), k1, p1["bias"], s1)
+        x = _apply_act_phase(self.act, x, s1 * s1, dtype)
       p2 = self.conv2.variables["params"]
       return _final_deconv_packed(
           x, p2["kernel"].astype(dtype), p2["bias"],
-          self.strides[0], self.strides[1], self.channels[0],
+          s1, self.strides[1], self.channels[0],
       )
     x = self.conv1(z)
     if self.act is not None:
@@ -772,21 +785,37 @@ class TwoLayerResSynthesis(nn.Module):
       po = self.out_conv.variables["params"]
       s1 = self.strides[0]
       c = self.channels[0]
-      # base and res are two deconvs of the same input: run them as ONE
-      # phase conv over concatenated output channels (one pass over z, one
-      # dispatch, 2x wider matmul N) and split in phase space.
-      kernel_br = jnp.concatenate(
-          [pb["kernel"].astype(dtype), pr["kernel"].astype(dtype)], axis=-1
-      )
-      bias_br = jnp.concatenate([pb["bias"], pr["bias"]], axis=-1)
-      both_p = fd.phase_conv(z, kernel_br, bias_br, s1)
-      # phase layout is [.., s*s*(2c)] with the 2c split innermost.
-      base_p = both_p.reshape(both_p.shape[:-1] + (s1 * s1, 2 * c))
-      res_p = base_p[..., c:].reshape(both_p.shape[:-1] + (s1 * s1 * c,))
-      base_p = base_p[..., :c].reshape(both_p.shape[:-1] + (s1 * s1 * c,))
-      base_p = _apply_act_phase(self.base_act, base_p, s1, dtype)
+      kb = pb["kernel"].astype(dtype)
+      kr = pr["kernel"].astype(dtype)
+      if len(fd._phase_groups(self.kernel_sizes[0], s1)) > 1:
+        # Tap-window grouped phase convs (k13s8 drops 4/9 of the dense
+        # FLOPs as zero tap padding). Base and res run as separate grouped
+        # convs; GDN and the sum apply per group piece (GDN only mixes
+        # within a true channel's block, so phase order is irrelevant), and
+        # one static-slice concat restores the canonical layout for the
+        # final stage.
+        base_ps, plists = fd.grouped_phase_pieces(z, kb, pb["bias"], s1)
+        res_ps, _ = fd.grouped_phase_pieces(z, kr, pr["bias"], s1)
+        mids = [
+            _apply_act_phase(self.base_act, bp, len(ph), dtype) + rp
+            for bp, rp, ph in zip(base_ps, res_ps, plists)
+        ]
+        mid_p = fd.canonicalize_pieces(mids, plists, c)
+      else:
+        # base and res are two deconvs of the same input: run them as ONE
+        # phase conv over concatenated output channels (one pass over z,
+        # 2x wider matmul N) and split in phase space.
+        kernel_br = jnp.concatenate([kb, kr], axis=-1)
+        bias_br = jnp.concatenate([pb["bias"], pr["bias"]], axis=-1)
+        both_p = fd.phase_conv(z, kernel_br, bias_br, s1)
+        # phase layout is [.., s*s*(2c)] with the 2c split innermost.
+        base_p = both_p.reshape(both_p.shape[:-1] + (s1 * s1, 2 * c))
+        res_p = base_p[..., c:].reshape(both_p.shape[:-1] + (s1 * s1 * c,))
+        base_p = base_p[..., :c].reshape(both_p.shape[:-1] + (s1 * s1 * c,))
+        base_p = _apply_act_phase(self.base_act, base_p, s1 * s1, dtype)
+        mid_p = base_p + res_p
       return _final_deconv_packed(
-          base_p + res_p, po["kernel"].astype(dtype), po["bias"],
+          mid_p, po["kernel"].astype(dtype), po["bias"],
           s1, self.strides[1], c,
       )
     base = self.base_conv(z)

@@ -92,28 +92,31 @@ def _phase_groups(k: int, s: int):
   return tuple(groups)
 
 
-def grouped_phase_conv(
+def grouped_phase_pieces(
     z: jax.Array,
     kernel: jax.Array,
     bias: Optional[jax.Array],
     stride: int,
     precision=None,
-) -> jax.Array:
-  """phase_conv with per-axis tap-window grouping: skips the zero tap padding
-  (e.g. k13s8 pads 13 effective taps/axis to 3*8=24; grouping uses 16),
-  trading one conv for a few + a static channel permutation. Output is the
-  same [B, h, w, s*s*C_out] phase tensor as phase_conv."""
+):
+  """Phase conv as per-(height, width) tap-window group convs.
+
+  Skips phase_conv's zero tap padding (k13s8 pads the 13 effective taps/axis
+  to T*s = 24; the two tap-window groups use 2*8 = 16, i.e. 4/9 of the dense
+  FLOPs vanish). Returns (pieces, phase_lists): pieces[i] is a
+  [B, h, w, len(phase_lists[i]) * C_out] conv output whose channels are
+  (flat_phase, c)-major with flat_phase = r_h * s + r_w iterating
+  phase_lists[i] in order. No channel permutation is applied -- callers that
+  need the canonical phase_conv layout use canonicalize_pieces (a handful of
+  static contiguous slices, not a gather).
+  """
   s = stride
   k = kernel.shape[0]
   c_out = kernel.shape[3]
   w6, dmin, T = _phase_kernel_6d(kernel, s)
   groups = _phase_groups(k, s)
-  if len(groups) <= 1:
-    return phase_conv(z, kernel, bias, s, precision=precision)
-
-  dn = None
-  outs = []
-  order = []
+  pieces = []
+  phase_lists = []
   for j0h, tgh, ph in groups:
     for j0w, tgw, pw in groups:
       wg = w6[j0h : j0h + tgh][:, jnp.asarray(ph)]
@@ -124,26 +127,60 @@ def grouped_phase_conv(
       ).astype(z.dtype)
       gmin_h, gmin_w = dmin + j0h, dmin + j0w
       pad = [(-gmin_h, tgh - 1 + gmin_h), (-gmin_w, tgw - 1 + gmin_w)]
-      if dn is None or True:
-        dn_g = jax.lax.conv_dimension_numbers(
-            z.shape, wg.shape, ("NHWC", "HWIO", "NHWC")
-        )
-      outs.append(
-          jax.lax.conv_general_dilated(
-              z, wg, (1, 1), pad, dimension_numbers=dn_g, precision=precision
-          )
+      dn_g = jax.lax.conv_dimension_numbers(
+          z.shape, wg.shape, ("NHWC", "HWIO", "NHWC")
       )
-      order.extend(
-          (rh * s + rw) * c_out + c
-          for rh in ph for rw in pw for c in range(c_out)
+      out = jax.lax.conv_general_dilated(
+          z, wg, (1, 1), pad, dimension_numbers=dn_g, precision=precision
       )
-  cat = jnp.concatenate(outs, axis=-1)
-  # invert the (group-concat) channel order back to canonical (r_h, r_w, c)
-  inv = np.argsort(np.asarray(order))
-  out = jnp.take(cat, jnp.asarray(inv), axis=-1)
-  if bias is not None:
-    out = out + jnp.tile(bias, s * s).astype(out.dtype)
-  return out
+      if bias is not None:
+        out = out + jnp.tile(bias, len(ph) * len(pw)).astype(out.dtype)
+      pieces.append(out)
+      phase_lists.append(tuple(rh * s + rw for rh in ph for rw in pw))
+  return pieces, phase_lists
+
+
+def canonicalize_pieces(pieces, phase_lists, c_out: int) -> jax.Array:
+  """Reassemble grouped_phase_pieces output into phase_conv's canonical
+  [B, h, w, s*s*C_out] layout using contiguous channel slices only.
+
+  Canonical phases that sit consecutively inside one piece are merged into a
+  single slice, so the 2x2 grouping of k13s8 needs 16 slices (one per
+  (r_h, width-group) run) -- XLA fuses the concat into one copy pass, unlike
+  the gather a flat index permutation lowers to (measured slower than the
+  grouped convs' own savings; PERF_NOTES round 1).
+  """
+  where = {}
+  for i, phases in enumerate(phase_lists):
+    for pos, p in enumerate(phases):
+      where[p] = (i, pos)
+  runs = []  # (piece_idx, start_pos, length) in canonical phase order
+  for p in sorted(where):
+    i, pos = where[p]
+    if runs and runs[-1][0] == i and runs[-1][1] + runs[-1][2] == pos:
+      runs[-1] = (i, runs[-1][1], runs[-1][2] + 1)
+    else:
+      runs.append((i, pos, 1))
+  slices = [
+      pieces[i][..., pos * c_out : (pos + ln) * c_out] for i, pos, ln in runs
+  ]
+  return slices[0] if len(slices) == 1 else jnp.concatenate(slices, axis=-1)
+
+
+def grouped_phase_conv(
+    z: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    stride: int,
+    precision=None,
+) -> jax.Array:
+  """phase_conv via tap-window grouping; canonical [B, h, w, s*s*C_out]."""
+  if len(_phase_groups(kernel.shape[0], stride)) <= 1:
+    return phase_conv(z, kernel, bias, stride, precision=precision)
+  pieces, phase_lists = grouped_phase_pieces(
+      z, kernel, bias, stride, precision=precision
+  )
+  return canonicalize_pieces(pieces, phase_lists, kernel.shape[3])
 
 
 def phase_kernel(kernel: jax.Array, stride: int) -> Tuple[jax.Array, int, int]:
@@ -214,19 +251,21 @@ def gdn_phase(
     x_p: jax.Array,
     beta: jax.Array,
     gamma: jax.Array,
-    stride: int,
+    num_phases: int,
     inverse: bool,
     alpha: float = 1.0,
     epsilon: float = 1.0,
 ) -> jax.Array:
-  """GDN applied to a phase-space tensor [.., s*s*C].
+  """GDN applied to a phase-space tensor [.., num_phases*C].
 
   The per-true-channel (C, C) mixing becomes a block-diagonal
-  (s*s*C, s*s*C) matmul via kron(I, gamma): 64x redundant FLOPs for the
-  (12, 12) flagship case but fully MXU/lane-packed -- an order of magnitude
-  faster than the same op on the depth-to-spaced tensor.
+  (num_phases*C, num_phases*C) matmul via kron(I, gamma): redundant FLOPs
+  (64x for the full (12, 12) flagship phase tensor) but fully MXU/lane-packed
+  -- an order of magnitude faster than the same op on the depth-to-spaced
+  tensor. Valid for any phase ordering and for per-group phase subsets
+  (grouped_phase_pieces): GDN mixes only within a true channel's block.
   """
-  s2 = stride * stride
+  s2 = num_phases
   c = gamma.shape[0]
   big_gamma = jnp.kron(jnp.eye(s2, dtype=gamma.dtype), gamma)
   big_beta = jnp.tile(beta, s2)

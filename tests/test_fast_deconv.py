@@ -84,7 +84,7 @@ def test_gdn_phase_matches_dense():
   x_p = jnp.asarray(rng.normal(0, 2, (2, 3, 4, s * s * c)).astype(np.float32))
   beta = jnp.asarray(np.abs(rng.normal(1, 0.1, (c,))).astype(np.float32))
   gamma = jnp.asarray(np.abs(rng.normal(0.1, 0.02, (c, c))).astype(np.float32))
-  out_p = fd.gdn_phase(x_p, beta, gamma, s, inverse=True)
+  out_p = fd.gdn_phase(x_p, beta, gamma, s * s, inverse=True)
   # dense reference on the depth-to-spaced tensor
   x = fd.depth_to_space(x_p, s)
   norm = jnp.abs(x) @ gamma + beta
