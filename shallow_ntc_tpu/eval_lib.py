@@ -100,7 +100,11 @@ def find_workdir_by_wid(experiment_dir: str, wid) -> str:
   """Locate the work-unit dir `wid=<wid>-*` (reference itinf_lib.py:167-174).
 
   Falls back to a sole un-prefixed workdir (runs launched without a
-  scheduler have no wid= prefix)."""
+  scheduler have no wid= prefix). A workdir passed directly (it contains
+  train/checkpoints itself) is returned as-is, mirroring
+  train_lib.resolve_warm_start_dir."""
+  if os.path.isdir(os.path.join(experiment_dir, "train", "checkpoints")):
+    return experiment_dir
   matches = sorted(glob.glob(os.path.join(experiment_dir, f"wid={wid}-*")))
   if not matches:
     candidates = [

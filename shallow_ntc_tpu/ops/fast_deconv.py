@@ -98,27 +98,35 @@ def grouped_phase_pieces(
     bias: Optional[jax.Array],
     stride: int,
     precision=None,
+    group_width: bool = False,
 ):
-  """Phase conv as per-(height, width) tap-window group convs.
+  """Phase conv as per-tap-window group convs.
 
   Skips phase_conv's zero tap padding (k13s8 pads the 13 effective taps/axis
-  to T*s = 24; the two tap-window groups use 2*8 = 16, i.e. 4/9 of the dense
-  FLOPs vanish). Returns (pieces, phase_lists): pieces[i] is a
-  [B, h, w, len(phase_lists[i]) * C_out] conv output whose channels are
-  (flat_phase, c)-major with flat_phase = r_h * s + r_w iterating
-  phase_lists[i] in order. No channel permutation is applied -- callers that
-  need the canonical phase_conv layout use canonicalize_pieces (a handful of
-  static contiguous slices, not a gather).
+  to T*s = 24; the two tap-window groups use 2*8 = 16). Returns
+  (pieces, phase_lists): pieces[i] is a [B, h, w, len(phase_lists[i]) * C_out]
+  conv output whose channels are (flat_phase, c)-major with
+  flat_phase = r_h * s + r_w iterating phase_lists[i] in order. No channel
+  permutation is applied -- callers that need the canonical phase_conv layout
+  use canonicalize_pieces (contiguous slices, not a gather).
+
+  group_width=False (default) groups the HEIGHT axis only: fewer FLOP savings
+  on paper (2/3 vs 4/9 dense for k13s8) but each piece's phases are already
+  canonically ordered, so canonicalize_pieces is a single 2-way concat and
+  per-piece elementwise/GDN work stays in a few wide ops -- measured faster
+  end-to-end than 2D grouping, whose 4-way piece interleave pays more in
+  reassembly than the extra conv FLOPs cost (PERF_NOTES round 2).
   """
   s = stride
   k = kernel.shape[0]
   c_out = kernel.shape[3]
   w6, dmin, T = _phase_kernel_6d(kernel, s)
   groups = _phase_groups(k, s)
+  w_groups = groups if group_width else ((0, T, tuple(range(s))),)
   pieces = []
   phase_lists = []
   for j0h, tgh, ph in groups:
-    for j0w, tgw, pw in groups:
+    for j0w, tgw, pw in w_groups:
       wg = w6[j0h : j0h + tgh][:, jnp.asarray(ph)]
       wg = wg[:, :, j0w : j0w + tgw][:, :, :, jnp.asarray(pw)]
       # [tgh, |ph|, tgw, |pw|, ci, co] -> [tgh, tgw, ci, |ph|*|pw|*co]

@@ -97,6 +97,133 @@ def build_weights(kernel: jax.Array, c_in: int) -> jax.Array:
   return w.reshape(3 * 3 * CBLK, S2 * SP * c_out)
 
 
+def build_weights_per_shift(kernel: jax.Array, c_in: int) -> jax.Array:
+  """Like build_weights but stacked per width shift: [3, 3*CBLK, 2*16*c_out].
+
+  W[ws] has K layout (d_slot, blk) and is contracted against the UNSHIFTED
+  mega row; the width tap is applied afterwards by rolling the f32 partial
+  products along the row (sublane) axis -- see final_deconv_phase_rolled.
+  """
+  k = kernel.shape[0]
+  c_out = kernel.shape[3]
+  a, bsel = _selection_tensors(k)
+  aj = jnp.asarray(a, jnp.float32)
+  bj = jnp.asarray(bsel, jnp.float32)
+  w = jnp.einsum(
+      "dtr,wpsu,tsco->dwpcruo", aj, bj, kernel.astype(jnp.float32),
+      precision=jax.lax.Precision.HIGHEST,
+  )
+  w = w.reshape(3, 3, S1 * c_in, S2 * SP * c_out)
+  w = jnp.pad(w, ((0, 0), (0, 0), (0, CBLK - S1 * c_in), (0, 0)))
+  # (d_slot, w_slot, blk, n) -> (w_slot, d_slot*blk, n)
+  return jnp.transpose(w, (1, 0, 2, 3)).reshape(
+      3, 3 * CBLK, S2 * SP * c_out
+  )
+
+
+def _make_rolled_kernel(c_out: int, wl: int, wp: int, dtype, interpret: bool):
+  """Kernel body for the unshifted-input variant.
+
+  refs: own [2, 1, WP, 8*CBLK], above [2, 1, WP, CBLK], below [2, 1, WP, CBLK],
+        w_ref [3, 3*CBLK, n_cols], b_ref [1, n_cols]
+  out:  [2, 1, 8, wl, n_cols]
+  WP = wl + 2 (halo) rounded up to a sublane multiple so per-batch row
+  offsets stay 8-aligned.
+  """
+  n_cols = S2 * SP * c_out
+
+  def roll_rows(x, shift):
+    if interpret:
+      return jnp.roll(x, shift, axis=0)
+    # pltpu.roll requires a non-negative shift; wrap modulo the axis size.
+    return pltpu.roll(x, shift=shift % x.shape[0], axis=0)
+
+  def kernel_fn(own, above, below, w_ref, b_ref, out_ref):
+    # Mega segment: slots = [above:p7, own:p0..p7, below:p0], one copy each
+    # (no width shifts): [2*WP, 10*CBLK].
+    rows = []
+    for b in range(2):
+      pieces = [above[b, 0]]
+      pieces += [
+          own[b, 0][:, ph * CBLK : (ph + 1) * CBLK] for ph in range(S1)
+      ]
+      pieces.append(below[b, 0])
+      rows.append(jnp.concatenate(pieces, axis=1))
+    mega = jnp.concatenate(rows, axis=0)  # [2*WP, 10*CBLK]
+
+    for q in range(S1):
+      seg = mega[:, q * CBLK : (q + 3) * CBLK]  # [2*WP, 384]
+      acc = None
+      for ws in range(3):
+        part = jnp.dot(
+            seg, w_ref[ws], preferred_element_type=jnp.float32
+        )  # [2*WP, n_cols]
+        # out[w] = sum_ws part_ws[w + ws]  (padded row coords)
+        part = roll_rows(part, -ws)
+        acc = part if acc is None else acc + part
+      acc = acc + b_ref[0].astype(jnp.float32)
+      for b in range(2):
+        out_ref[b, 0, q] = acc[b * wp : b * wp + wl, :].astype(out_ref.dtype)
+
+  return kernel_fn
+
+
+def _final_deconv_phase_rolled_impl(
+    mid_p: jax.Array, kernel: jax.Array, bias, c_in: int
+) -> jax.Array:
+  """Unshifted-DMA variant of _final_deconv_phase_impl: one copy of each row
+  is fetched (vs 3 width-shifted copies) and the width taps are applied by
+  rolling the f32 partial products inside the kernel. Cuts the XLA pre-shift
+  pass and ~2.6x of the per-cell DMA (the kernel is DMA-bound)."""
+  b, h, wl, _ = mid_p.shape
+  assert b % 2 == 0, "batch must be even for the pairing scheme"
+  k = kernel.shape[0]
+  c_out = kernel.shape[3]
+  n_cols = S2 * SP * c_out
+  dtype = mid_p.dtype
+  interpret = jax.default_backend() == "cpu"
+
+  wp = ((wl + 2) + 7) // 8 * 8  # halo + sublane alignment
+  xb = mid_p.reshape(b, h, wl, S1, S1 * c_in)
+  xb = jnp.pad(
+      xb, ((0, 0), (1, 1), (1, wp - wl - 1), (0, 0), (0, CBLK - S1 * c_in))
+  )
+  xb = xb.reshape(b, h + 2, wp, S1 * CBLK)
+
+  w_arr = build_weights_per_shift(kernel, c_in).astype(dtype)
+  if bias is None:
+    bias = jnp.zeros((c_out,), dtype)
+  b_arr = jnp.tile(jnp.asarray(bias, jnp.float32), S2 * SP).reshape(1, n_cols)
+
+  in_specs = [
+      pl.BlockSpec((2, 1, wp, S1 * CBLK), lambda i, j: (i, j + 1, 0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((2, 1, wp, CBLK), lambda i, j: (i, j, 0, S1 - 1),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((2, 1, wp, CBLK), lambda i, j: (i, j + 2, 0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((3, 3 * CBLK, n_cols), lambda i, j: (0, 0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, n_cols), lambda i, j: (0, 0),
+                   memory_space=pltpu.VMEM),
+  ]
+  out = pl.pallas_call(
+      _make_rolled_kernel(c_out, wl, wp, dtype, interpret),
+      grid=(b // 2, h),
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec(
+          (2, 1, S1, wl, n_cols), lambda i, j: (i, j, 0, 0, 0),
+          memory_space=pltpu.VMEM,
+      ),
+      out_shape=jax.ShapeDtypeStruct((b, h, S1, wl, n_cols), dtype),
+      interpret=interpret,
+  )(xb, xb, xb, w_arr, b_arr)
+
+  out = out.reshape(b, h, S1, wl, S2, SP * c_out)
+  out = jnp.transpose(out, (0, 1, 2, 4, 3, 5))
+  return out.reshape(b, h * SP, wl * SP, c_out)
+
+
 def _make_kernel(c_out: int, wl: int, dtype):
   n_cols = S2 * SP * c_out  # 96 for c_out=3
 
@@ -188,6 +315,10 @@ final_deconv_phase.defvjp(_final_deconv_fwd, _final_deconv_bwd)
 def _final_deconv_phase_impl(
     mid_p: jax.Array, kernel: jax.Array, bias, c_in: int
 ) -> jax.Array:
+  import os
+
+  if os.environ.get("SNTC_FINAL_KERNEL", "rolled") == "rolled":
+    return _final_deconv_phase_rolled_impl(mid_p, kernel, bias, c_in)
   b, h, wl, _ = mid_p.shape
   assert b % 2 == 0, "batch must be even for the pairing scheme"
   k = kernel.shape[0]

@@ -102,3 +102,6 @@ def test_pallas_final_deconv_phase():
   ref = fd.packed_conv_transpose(mid_p, k5, b5, 2, 8)
   out = tf2.final_deconv_phase(mid_p, k5, b5, c_in=12)
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+  # both kernel variants must agree with the dense formulation
+  out_rolled = tf2._final_deconv_phase_rolled_impl(mid_p, k5, b5, c_in=12)
+  np.testing.assert_allclose(np.asarray(out_rolled), np.asarray(ref), atol=1e-4)
