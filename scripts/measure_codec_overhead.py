@@ -27,8 +27,15 @@ def main():
   p.add_argument("--dataset", default="deadleaves_eval")
   p.add_argument("--max_images", type=int, default=8)
   p.add_argument("--out", default=None)
+  p.add_argument("--cpu", action="store_true",
+                 help="Force the CPU backend (this measurement needs no TPU; "
+                      "the JAX_PLATFORMS env var is ignored in this image).")
   args = p.parse_args()
 
+  import jax
+
+  if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
   import jax.numpy as jnp
 
   from shallow_ntc_tpu import data as data_lib

@@ -74,17 +74,24 @@ def _phase_kernel_6d(kernel: jax.Array, stride: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _phase_groups(k: int, s: int):
-  """Group phases by their tap-window start; returns per-axis groups
-  [(j0, Tg, phases_tuple)] in j-index units relative to dmin."""
+def _phase_groups(k: int, s: int, exact: bool = False):
+  """Group phases by their tap window; returns per-axis groups
+  [(j0, Tg, phases_tuple)] in j-index units relative to dmin.
+
+  exact=False groups by window start only (adjacent-width windows merge, so
+  a group may still carry one padded tap); exact=True groups by
+  (start, width) so every group conv multiplies only true kernel taps
+  (k13s8: 3 exact groups with 2+1+2 taps = the 13 effective taps; k5s2:
+  2 exact groups with 2+3 taps = the 5)."""
   _, T, t_idx, valid = _phase_geometry(k, s)
-  by_start = {}
+  by_window = {}
   for r in range(s):
     js = [j for j in range(T) if valid[r, j]]
-    j0 = min(js)
-    by_start.setdefault(j0, []).append(r)
+    key = (min(js), max(js)) if exact else (min(js),)
+    by_window.setdefault(key, []).append(r)
   groups = []
-  for j0, phases in sorted(by_start.items()):
+  for key, phases in sorted(by_window.items()):
+    j0 = key[0]
     jmax = max(
         j for r in phases for j in range(T) if valid[r, j]
     )
@@ -99,6 +106,7 @@ def grouped_phase_pieces(
     stride: int,
     precision=None,
     group_width: bool = False,
+    exact: bool = False,
 ):
   """Phase conv as per-tap-window group convs.
 
@@ -121,7 +129,7 @@ def grouped_phase_pieces(
   k = kernel.shape[0]
   c_out = kernel.shape[3]
   w6, dmin, T = _phase_kernel_6d(kernel, s)
-  groups = _phase_groups(k, s)
+  groups = _phase_groups(k, s, exact)
   w_groups = groups if group_width else ((0, T, tuple(range(s))),)
   pieces = []
   phase_lists = []
@@ -380,6 +388,16 @@ def packed_conv_transpose(
   return out
 
 
+@functools.lru_cache(maxsize=None)
+def _exact_tap_ratio(k: int, s: int) -> float:
+  """Per-axis (tap, phase) entries of exact grouping vs the dense T*s."""
+  _, T, _, _ = _phase_geometry(k, s)
+  entries = sum(
+      tg * len(ph) for _, tg, ph in _phase_groups(k, s, exact=True)
+  )
+  return entries / (T * s)
+
+
 def fast_conv_transpose(
     z: jax.Array,
     kernel: jax.Array,
@@ -391,8 +409,18 @@ def fast_conv_transpose(
 
   Numerically equivalent to
   lax.conv_transpose(z, kernel, (stride, stride), 'SAME', NHWC/HWIO) [+ bias].
+  When the phase tap windows leave enough structural zeros in the dense
+  phase kernel (e.g. k5s2 pads 5 taps/axis to 6), the conv runs as exact
+  per-window group convs instead; the canonical reorder is contiguous
+  slices that fuse into the depth_to_space copy.
   """
   s = stride
+  if s > 1 and _exact_tap_ratio(kernel.shape[0], s) <= 0.9:
+    pieces, plists = grouped_phase_pieces(
+        z, kernel, bias, s, precision=precision, group_width=True, exact=True
+    )
+    out_small = canonicalize_pieces(pieces, plists, kernel.shape[3])
+    return depth_to_space(out_small, s)
   w_phase, dmin, T = phase_kernel(kernel, s)
   pad_lo = -dmin
   pad_hi = T - 1 + dmin

@@ -168,13 +168,66 @@ def _make_rolled_kernel(c_out: int, wl: int, wp: int, dtype, interpret: bool):
   return kernel_fn
 
 
+def _make_rolled2_kernel(c_out: int, wl: int, wp: int, dtype, interpret: bool):
+  """Two output rows per grid cell: halves the per-cell fixed costs (DMA
+  issue, mega assembly, matmul count per output row) and doubles matmul M.
+
+  refs: row0..row3 [2, 1, WP, *] = padded rows 2j .. 2j+3 (row0 carries only
+  the phase-7 block, row3 only the phase-0 block; rows 1-2 are full),
+  w_ref [3, 3*CBLK, n_cols], b_ref [1, n_cols]
+  out:  [2, 2, 8, wl, n_cols]  (batch pair x row pair)
+  """
+  n_cols = S2 * SP * c_out
+
+  def roll_rows(x, shift):
+    if interpret:
+      return jnp.roll(x, shift, axis=0)
+    return pltpu.roll(x, shift=shift % x.shape[0], axis=0)
+
+  def kernel_fn(row0, row1, row2, row3, w_ref, b_ref, out_ref):
+    full = (row1, row2)
+    # Mega rows ordered (b, r)-major: [b0r0, b0r1, b1r0, b1r1], each WP rows.
+    megas = []
+    for b in range(2):
+      for r in range(2):
+        own = full[r][b, 0]
+        above = (
+            row0[b, 0] if r == 0
+            else full[0][b, 0][:, (S1 - 1) * CBLK : S1 * CBLK]
+        )
+        below = (
+            full[1][b, 0][:, 0:CBLK] if r == 0 else row3[b, 0]
+        )
+        pieces = [above]
+        pieces += [own[:, ph * CBLK : (ph + 1) * CBLK] for ph in range(S1)]
+        pieces.append(below)
+        megas.append(jnp.concatenate(pieces, axis=1))
+    mega = jnp.concatenate(megas, axis=0)  # [4*WP, 10*CBLK]
+
+    for q in range(S1):
+      seg = mega[:, q * CBLK : (q + 3) * CBLK]  # [4*WP, 384]
+      acc = None
+      for ws in range(3):
+        part = jnp.dot(seg, w_ref[ws], preferred_element_type=jnp.float32)
+        part = roll_rows(part, -ws)  # out[w] = sum_ws part_ws[w + ws]
+        acc = part if acc is None else acc + part
+      acc = acc + b_ref[0].astype(jnp.float32)
+      for b in range(2):
+        for r in range(2):
+          base = (2 * b + r) * wp
+          out_ref[b, r, q] = acc[base : base + wl, :].astype(out_ref.dtype)
+
+  return kernel_fn
+
+
 def _final_deconv_phase_rolled_impl(
     mid_p: jax.Array, kernel: jax.Array, bias, c_in: int
 ) -> jax.Array:
   """Unshifted-DMA variant of _final_deconv_phase_impl: one copy of each row
   is fetched (vs 3 width-shifted copies) and the width taps are applied by
   rolling the f32 partial products inside the kernel. Cuts the XLA pre-shift
-  pass and ~2.6x of the per-cell DMA (the kernel is DMA-bound)."""
+  pass and most of the per-cell DMA (the kernel is DMA/overhead-bound).
+  Processes 2 output rows per grid cell when the height is even."""
   b, h, wl, _ = mid_p.shape
   assert b % 2 == 0, "batch must be even for the pairing scheme"
   k = kernel.shape[0]
@@ -182,6 +235,7 @@ def _final_deconv_phase_rolled_impl(
   n_cols = S2 * SP * c_out
   dtype = mid_p.dtype
   interpret = jax.default_backend() == "cpu"
+  two_rows = h % 2 == 0
 
   wp = ((wl + 2) + 7) // 8 * 8  # halo + sublane alignment
   xb = mid_p.reshape(b, h, wl, S1, S1 * c_in)
@@ -195,29 +249,54 @@ def _final_deconv_phase_rolled_impl(
     bias = jnp.zeros((c_out,), dtype)
   b_arr = jnp.tile(jnp.asarray(bias, jnp.float32), S2 * SP).reshape(1, n_cols)
 
-  in_specs = [
-      pl.BlockSpec((2, 1, wp, S1 * CBLK), lambda i, j: (i, j + 1, 0, 0),
-                   memory_space=pltpu.VMEM),
-      pl.BlockSpec((2, 1, wp, CBLK), lambda i, j: (i, j, 0, S1 - 1),
-                   memory_space=pltpu.VMEM),
-      pl.BlockSpec((2, 1, wp, CBLK), lambda i, j: (i, j + 2, 0, 0),
-                   memory_space=pltpu.VMEM),
-      pl.BlockSpec((3, 3 * CBLK, n_cols), lambda i, j: (0, 0, 0),
-                   memory_space=pltpu.VMEM),
-      pl.BlockSpec((1, n_cols), lambda i, j: (0, 0),
-                   memory_space=pltpu.VMEM),
-  ]
-  out = pl.pallas_call(
-      _make_rolled_kernel(c_out, wl, wp, dtype, interpret),
-      grid=(b // 2, h),
-      in_specs=in_specs,
-      out_specs=pl.BlockSpec(
-          (2, 1, S1, wl, n_cols), lambda i, j: (i, j, 0, 0, 0),
-          memory_space=pltpu.VMEM,
-      ),
-      out_shape=jax.ShapeDtypeStruct((b, h, S1, wl, n_cols), dtype),
-      interpret=interpret,
-  )(xb, xb, xb, w_arr, b_arr)
+  w_spec = pl.BlockSpec((3, 3 * CBLK, n_cols), lambda i, j: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+  bias_spec = pl.BlockSpec((1, n_cols), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+  if two_rows:
+    in_specs = [
+        pl.BlockSpec((2, 1, wp, CBLK), lambda i, j: (i, 2 * j, 0, S1 - 1),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 1, wp, S1 * CBLK), lambda i, j: (i, 2 * j + 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 1, wp, S1 * CBLK), lambda i, j: (i, 2 * j + 2, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 1, wp, CBLK), lambda i, j: (i, 2 * j + 3, 0, 0),
+                     memory_space=pltpu.VMEM),
+        w_spec, bias_spec,
+    ]
+    out = pl.pallas_call(
+        _make_rolled2_kernel(c_out, wl, wp, dtype, interpret),
+        grid=(b // 2, h // 2),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (2, 2, S1, wl, n_cols), lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, S1, wl, n_cols), dtype),
+        interpret=interpret,
+    )(xb, xb, xb, xb, w_arr, b_arr)
+  else:
+    in_specs = [
+        pl.BlockSpec((2, 1, wp, S1 * CBLK), lambda i, j: (i, j + 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 1, wp, CBLK), lambda i, j: (i, j, 0, S1 - 1),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 1, wp, CBLK), lambda i, j: (i, j + 2, 0, 0),
+                     memory_space=pltpu.VMEM),
+        w_spec, bias_spec,
+    ]
+    out = pl.pallas_call(
+        _make_rolled_kernel(c_out, wl, wp, dtype, interpret),
+        grid=(b // 2, h),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (2, 1, S1, wl, n_cols), lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, S1, wl, n_cols), dtype),
+        interpret=interpret,
+    )(xb, xb, xb, w_arr, b_arr)
 
   out = out.reshape(b, h, S1, wl, S2, SP * c_out)
   out = jnp.transpose(out, (0, 1, 2, 4, 3, 5))
