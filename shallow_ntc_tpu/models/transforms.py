@@ -607,7 +607,8 @@ def _final_deconv_packed(mid_p, kernel, bias, s1, s2, mid_channels,
       and s1 == 8
       and s2 == 2
       and kernel.shape[0] <= 7
-      and mid_p.shape[0] % 2 == 0
+      # batch pairs, or two-row cells for odd batch (per-image eval)
+      and (mid_p.shape[0] % 2 == 0 or mid_p.shape[1] % 2 == 0)
       and jax.default_backend() in ("tpu", "cpu")
   ):
     from shallow_ntc_tpu.ops.pallas.twolayer_final import final_deconv_phase

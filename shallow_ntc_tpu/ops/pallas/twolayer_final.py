@@ -168,14 +168,17 @@ def _make_rolled_kernel(c_out: int, wl: int, wp: int, dtype, interpret: bool):
   return kernel_fn
 
 
-def _make_rolled2_kernel(c_out: int, wl: int, wp: int, dtype, interpret: bool):
-  """Two output rows per grid cell: halves the per-cell fixed costs (DMA
-  issue, mega assembly, matmul count per output row) and doubles matmul M.
+def _make_rolled2_kernel(
+    c_out: int, wl: int, wp: int, nb: int, dtype, interpret: bool
+):
+  """Two output rows (x nb batch images) per grid cell: halves the per-cell
+  fixed costs (DMA issue, mega assembly, matmul count per output row) and
+  multiplies matmul M.
 
-  refs: row0..row3 [2, 1, WP, *] = padded rows 2j .. 2j+3 (row0 carries only
+  refs: row0..row3 [nb, 1, WP, *] = padded rows 2j .. 2j+3 (row0 carries only
   the phase-7 block, row3 only the phase-0 block; rows 1-2 are full),
   w_ref [3, 3*CBLK, n_cols], b_ref [1, n_cols]
-  out:  [2, 2, 8, wl, n_cols]  (batch pair x row pair)
+  out:  [nb, 2, 8, wl, n_cols]  (batch block x row pair)
   """
   n_cols = S2 * SP * c_out
 
@@ -186,9 +189,9 @@ def _make_rolled2_kernel(c_out: int, wl: int, wp: int, dtype, interpret: bool):
 
   def kernel_fn(row0, row1, row2, row3, w_ref, b_ref, out_ref):
     full = (row1, row2)
-    # Mega rows ordered (b, r)-major: [b0r0, b0r1, b1r0, b1r1], each WP rows.
+    # Mega rows ordered (b, r)-major: [b0r0, b0r1, b1r0, ...], each WP rows.
     megas = []
-    for b in range(2):
+    for b in range(nb):
       for r in range(2):
         own = full[r][b, 0]
         above = (
@@ -202,17 +205,17 @@ def _make_rolled2_kernel(c_out: int, wl: int, wp: int, dtype, interpret: bool):
         pieces += [own[:, ph * CBLK : (ph + 1) * CBLK] for ph in range(S1)]
         pieces.append(below)
         megas.append(jnp.concatenate(pieces, axis=1))
-    mega = jnp.concatenate(megas, axis=0)  # [4*WP, 10*CBLK]
+    mega = jnp.concatenate(megas, axis=0)  # [nb*2*WP, 10*CBLK]
 
     for q in range(S1):
-      seg = mega[:, q * CBLK : (q + 3) * CBLK]  # [4*WP, 384]
+      seg = mega[:, q * CBLK : (q + 3) * CBLK]  # [nb*2*WP, 384]
       acc = None
       for ws in range(3):
         part = jnp.dot(seg, w_ref[ws], preferred_element_type=jnp.float32)
         part = roll_rows(part, -ws)  # out[w] = sum_ws part_ws[w + ws]
         acc = part if acc is None else acc + part
       acc = acc + b_ref[0].astype(jnp.float32)
-      for b in range(2):
+      for b in range(nb):
         for r in range(2):
           base = (2 * b + r) * wp
           out_ref[b, r, q] = acc[base : base + wl, :].astype(out_ref.dtype)
@@ -227,15 +230,17 @@ def _final_deconv_phase_rolled_impl(
   is fetched (vs 3 width-shifted copies) and the width taps are applied by
   rolling the f32 partial products inside the kernel. Cuts the XLA pre-shift
   pass and most of the per-cell DMA (the kernel is DMA/overhead-bound).
-  Processes 2 output rows per grid cell when the height is even."""
+  Processes 2 output rows per grid cell when the height is even; odd batch
+  sizes (per-image eval) use single-image cells."""
   b, h, wl, _ = mid_p.shape
-  assert b % 2 == 0, "batch must be even for the pairing scheme"
   k = kernel.shape[0]
   c_out = kernel.shape[3]
   n_cols = S2 * SP * c_out
   dtype = mid_p.dtype
   interpret = jax.default_backend() == "cpu"
   two_rows = h % 2 == 0
+  nb = 2 if b % 2 == 0 else 1
+  assert two_rows or b % 2 == 0, "odd batch needs even height"
 
   wp = ((wl + 2) + 7) // 8 * 8  # halo + sublane alignment
   xb = mid_p.reshape(b, h, wl, S1, S1 * c_in)
@@ -255,22 +260,22 @@ def _final_deconv_phase_rolled_impl(
                            memory_space=pltpu.VMEM)
   if two_rows:
     in_specs = [
-        pl.BlockSpec((2, 1, wp, CBLK), lambda i, j: (i, 2 * j, 0, S1 - 1),
+        pl.BlockSpec((nb, 1, wp, CBLK), lambda i, j: (i, 2 * j, 0, S1 - 1),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, 1, wp, S1 * CBLK), lambda i, j: (i, 2 * j + 1, 0, 0),
+        pl.BlockSpec((nb, 1, wp, S1 * CBLK), lambda i, j: (i, 2 * j + 1, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, 1, wp, S1 * CBLK), lambda i, j: (i, 2 * j + 2, 0, 0),
+        pl.BlockSpec((nb, 1, wp, S1 * CBLK), lambda i, j: (i, 2 * j + 2, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, 1, wp, CBLK), lambda i, j: (i, 2 * j + 3, 0, 0),
+        pl.BlockSpec((nb, 1, wp, CBLK), lambda i, j: (i, 2 * j + 3, 0, 0),
                      memory_space=pltpu.VMEM),
         w_spec, bias_spec,
     ]
     out = pl.pallas_call(
-        _make_rolled2_kernel(c_out, wl, wp, dtype, interpret),
-        grid=(b // 2, h // 2),
+        _make_rolled2_kernel(c_out, wl, wp, nb, dtype, interpret),
+        grid=(b // nb, h // 2),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (2, 2, S1, wl, n_cols), lambda i, j: (i, j, 0, 0, 0),
+            (nb, 2, S1, wl, n_cols), lambda i, j: (i, j, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, S1, wl, n_cols), dtype),
@@ -396,7 +401,10 @@ def _final_deconv_phase_impl(
 ) -> jax.Array:
   import os
 
-  if os.environ.get("SNTC_FINAL_KERNEL", "rolled") == "rolled":
+  if (
+      os.environ.get("SNTC_FINAL_KERNEL", "rolled") == "rolled"
+      or mid_p.shape[0] % 2 != 0  # shifted variant needs batch pairs
+  ):
     return _final_deconv_phase_rolled_impl(mid_p, kernel, bias, c_in)
   b, h, wl, _ = mid_p.shape
   assert b % 2 == 0, "batch must be even for the pairing scheme"

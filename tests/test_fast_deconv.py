@@ -105,3 +105,15 @@ def test_pallas_final_deconv_phase():
   # both kernel variants must agree with the dense formulation
   out_rolled = tf2._final_deconv_phase_rolled_impl(mid_p, k5, b5, c_in=12)
   np.testing.assert_allclose(np.asarray(out_rolled), np.asarray(ref), atol=1e-4)
+
+
+def test_pallas_final_deconv_odd_batch():
+  from shallow_ntc_tpu.ops.pallas import twolayer_final as tf2
+
+  rng = np.random.default_rng(6)
+  mid_p = jnp.asarray(rng.normal(0, 1, (1, 4, 6, 64 * 12)).astype(np.float32))
+  k5 = jnp.asarray(rng.normal(0, 0.05, (5, 5, 12, 3)).astype(np.float32))
+  b5 = jnp.asarray(rng.normal(0, 0.05, (3,)).astype(np.float32))
+  ref = fd.packed_conv_transpose(mid_p, k5, b5, 2, 8)
+  out = tf2._final_deconv_phase_rolled_impl(mid_p, k5, b5, c_in=12)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
