@@ -24,7 +24,7 @@ import jax.numpy as jnp
 _CONV_INIT = nn.initializers.glorot_uniform()
 
 
-def _conv(features, kernel, stride=1, transpose=False, dtype=None):
+def _conv(features, kernel, stride=1, transpose=False, dtype=None, name=None):
   if transpose:
     from shallow_ntc_tpu.models.transforms import FastConvTranspose
 
@@ -35,31 +35,74 @@ def _conv(features, kernel, stride=1, transpose=False, dtype=None):
         use_bias=True,
         kernel_init=_CONV_INIT,
         dtype=dtype,
+        name=name,
     )
-  return nn.Conv(
+  from shallow_ntc_tpu.models.transforms import Conv
+
+  # transforms.Conv: nn.Conv-compatible params AND flax auto-name ("Conv_N");
+  # carries the (default-off) s2d lowering experiment for tiny-channel
+  # strided convs (ops/fast_deconv.strided_conv_s2d).
+  return Conv(
       features=features,
       kernel_size=(kernel, kernel),
       strides=(stride, stride),
-      padding="SAME",
       use_bias=True,
       kernel_init=_CONV_INIT,
       dtype=dtype,
+      name=name,
   )
 
 
 class ResidualBlock(nn.Module):
-  """Cheng-2020 residual block: [1x1 @C/2, 3x3 @C/2, 1x1 @C] + skip."""
+  """Cheng-2020 residual block: [1x1 @C/2, 3x3 @C/2, 1x1 @C] + skip.
 
+  `features` must equal the input channel count (the compact version
+  inferred it; making it explicit lets the three convs live in setup so the
+  fused Pallas path can read their params). Child names stay "Conv_N" for
+  checkpoint/converter layout stability.
+  """
+
+  features: int
   activation: str = "relu"
   dtype: Optional[Any] = None
 
-  @nn.compact
+  def setup(self):
+    c = self.features
+    self.conv1 = _conv(c // 2, 1, dtype=self.dtype, name="Conv_0")
+    self.conv2 = _conv(c // 2, 3, dtype=self.dtype, name="Conv_1")
+    self.conv3 = _conv(c, 1, dtype=self.dtype, name="Conv_2")
+
   def __call__(self, x: jax.Array) -> jax.Array:
-    c = x.shape[-1]
+    import os
+
+    assert x.shape[-1] == self.features, (x.shape, self.features)
     act = getattr(jax.nn, self.activation)
-    h = act(_conv(c // 2, 1, dtype=self.dtype)(x))
-    h = act(_conv(c // 2, 3, dtype=self.dtype)(h))
-    h = _conv(c, 1, dtype=self.dtype)(h)
+    if (
+        not self.is_initializing()
+        and os.environ.get("SNTC_FUSED_RESBLOCK") == "1"
+        and jax.default_backend() in ("tpu", "cpu")
+    ):
+      # Experimental fused VMEM-resident block (ops/pallas/resblock.py).
+      # OFF by default: the XLA chain is HBM-bound (~40% MXU) but the Pallas
+      # formulation measured 12.1 ms vs XLA's 2.5 ms per stage-1 block (the
+      # f32 roll/concat relayouts dominate; PERF_NOTES round 2), so it is
+      # kept as exactness-tested groundwork, not the production path.
+      from shallow_ntc_tpu.ops.pallas import resblock as rb
+
+      dtype = self.dtype or x.dtype
+      p1 = self.conv1.variables["params"]
+      p2 = self.conv2.variables["params"]
+      p3 = self.conv3.variables["params"]
+      return rb.fused_resblock(
+          x.astype(dtype),
+          p1["kernel"][0, 0].astype(dtype), p1["bias"],
+          p2["kernel"].astype(dtype), p2["bias"],
+          p3["kernel"][0, 0].astype(dtype), p3["bias"],
+          act_name=self.activation,
+      )
+    h = act(self.conv1(x))
+    h = act(self.conv2(h))
+    h = self.conv3(h)
     return x + h
 
 
@@ -72,10 +115,10 @@ class SimpleAttention(nn.Module):
   def __call__(self, x: jax.Array) -> jax.Array:
     trunk = x
     for _ in range(3):
-      trunk = ResidualBlock(dtype=self.dtype)(trunk)
+      trunk = ResidualBlock(trunk.shape[-1], dtype=self.dtype)(trunk)
     branch = x
     for _ in range(3):
-      branch = ResidualBlock(dtype=self.dtype)(branch)
+      branch = ResidualBlock(branch.shape[-1], dtype=self.dtype)(branch)
     gate = jax.nn.sigmoid(_conv(x.shape[-1], 1, dtype=self.dtype)(branch))
     return x + trunk * gate
 
@@ -120,7 +163,7 @@ class ElicAnalysis(nn.Module):
 
     def res_blocks(h):
       for _ in range(self.num_residual_blocks):
-        h = ResidualBlock(dtype=self.dtype)(h)
+        h = ResidualBlock(h.shape[-1], dtype=self.dtype)(h)
       return h
 
     if len(convs) == 4:
@@ -177,7 +220,7 @@ class ElicSynthesis(nn.Module):
 
     def res_blocks(h):
       for _ in range(self.num_residual_blocks):
-        h = ResidualBlock(dtype=self.dtype)(h)
+        h = ResidualBlock(h.shape[-1], dtype=self.dtype)(h)
       return h
 
     x = SimpleAttention(dtype=self.dtype)(x)

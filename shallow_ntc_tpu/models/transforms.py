@@ -161,12 +161,80 @@ def make_activation(name: Optional[str]):
   return fn
 
 
+class Conv(nn.Module):
+  """SAME strided conv, s2d-packed when the input channel count is tiny.
+
+  NOTE on the name: flax auto-names inline submodules by class name, and the
+  checkpoint layout (orbax trees, utils/tf_convert manifests) uses the
+  "Conv_N" paths that inline nn.Conv modules produced — this class is named
+  `Conv` so those paths stay stable.
+
+  Parameter-compatible with nn.Conv (kernel [k, k, in, out], bias). An
+  image-space stride-2 conv on 3 channels contracts K = k*k*3 per output --
+  measured ~7% MXU utilization for ELIC's first conv. Packing the input
+  space-to-depth first turns it into a dense stride-1 conv with K = s^2 * 3
+  per tap on a s^2-smaller grid (ops/fast_deconv.strided_conv_s2d),
+  numerically identical. Wide-channel or stride-1 convs use the plain lax
+  SAME conv (XLA already tiles those well).
+  """
+
+  features: int
+  kernel_size: Tuple[int, int] = (5, 5)
+  strides: Tuple[int, int] = (2, 2)
+  use_bias: bool = True
+  kernel_init: Any = _CONV_INIT
+  dtype: Optional[Dtype] = None
+
+  @nn.compact
+  def __call__(self, x: jax.Array) -> jax.Array:
+    from shallow_ntc_tpu.ops import fast_deconv as fd
+
+    k = self.kernel_size[0]
+    s = self.strides[0]
+    assert self.kernel_size[0] == self.kernel_size[1]
+    assert self.strides[0] == self.strides[1]
+    kernel = self.param(
+        "kernel", self.kernel_init, (k, k, x.shape[-1], self.features)
+    )
+    bias = (
+        self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.use_bias
+        else None
+    )
+    import os
+
+    dtype = self.dtype or x.dtype
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+    if (
+        s > 1
+        and os.environ.get("SNTC_S2D_CONV") == "1"
+        and x.shape[-1] <= 16
+        and x.shape[1] % s == 0
+        and x.shape[2] % s == 0
+    ):
+      # Experimental, OFF by default: packing was expected to cure the
+      # first conv's lane waste (K=75 at ~7% MXU), but the image-space
+      # space_to_depth rearrangement costs more than the conv saves
+      # (measured 3.0 ms vs 1.76 ms plain at 8x512x768; PERF_NOTES round 2).
+      return fd.strided_conv_s2d(x, kernel, bias, s)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    out = jax.lax.conv_general_dilated(
+        x, kernel, (s, s), "SAME", dimension_numbers=dn
+    )
+    return out if bias is None else out + bias.astype(out.dtype)
+
+
+FastStridedConv = Conv  # descriptive alias
+
+
 def _conv(features, kernel, stride, dtype=None):
-  return nn.Conv(
+  return Conv(
       features=features,
       kernel_size=(kernel, kernel),
       strides=(stride, stride),
-      padding="SAME",
       use_bias=True,
       kernel_init=_CONV_INIT,
       dtype=dtype,

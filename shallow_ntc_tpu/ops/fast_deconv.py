@@ -263,6 +263,77 @@ def phase_conv(
   return out
 
 
+@functools.lru_cache(maxsize=None)
+def _s2d_conv_geometry(k: int, s: int):
+  """Tap geometry for a SAME stride-s conv consumed in s2d-packed form.
+
+  SAME forward conv: out[o] = sum_t x[s*o + t - P] K[t] with
+  P = (k - s) // 2 for k >= s (lax low padding). Packing x[s*u + a] gives
+  per-(a, t) contributions at packed tap d = (t - P - a) / s when integral.
+  Returns (dmin, Td, entries=((d, a, t), ...)).
+  """
+  p = max(k - s, 0) // 2
+  entries = []
+  dmin = dmax = None
+  for t in range(k):
+    for a in range(s):
+      num = t - p - a
+      if num % s:
+        continue
+      d = num // s
+      entries.append((d, a, t))
+      dmin = d if dmin is None else min(dmin, d)
+      dmax = d if dmax is None else max(dmax, d)
+  return dmin, dmax - dmin + 1, tuple(entries)
+
+
+def strided_conv_s2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    stride: int,
+    precision=None,
+) -> jax.Array:
+  """SAME stride-s conv as a dense stride-1 conv over the s2d-packed input.
+
+  Numerically equivalent to lax.conv SAME (NHWC/HWIO). The win is for tiny
+  input channel counts: an image-space k5s2 conv on 3 channels contracts
+  K = 75 (<10% MXU utilization measured); packed it contracts K = 108 on a
+  4x smaller spatial grid (~6x faster for ELIC's first conv). Requires H, W
+  divisible by s (callers pad images to the downsample factor already).
+  """
+  s = stride
+  k = kernel.shape[0]
+  c_in, c_out = kernel.shape[2], kernel.shape[3]
+  dmin, td, entries = _s2d_conv_geometry(k, s)
+  # Packed kernel [td, td, s*s*c_in, c_out]: axis layout (d, a) per axis.
+  kh = np.zeros((td, s, k), np.float32)
+  for d, a, t in entries:
+    kh[d - dmin, a, t] = 1.0
+  khj = jnp.asarray(kh, kernel.dtype)
+  w = jnp.einsum(
+      "dat,ebu,tuio->deabio", khj, khj, kernel.astype(jnp.float32),
+      precision=jax.lax.Precision.HIGHEST,
+  ).reshape(td, td, s * s * c_in, c_out).astype(x.dtype)
+
+  xp = space_to_depth(x, s)
+  pad = [(-dmin, td - 1 + dmin), (-dmin, td - 1 + dmin)]
+  dn = jax.lax.conv_dimension_numbers(
+      xp.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+  )
+  out = jax.lax.conv_general_dilated(
+      xp, w, (1, 1), pad, dimension_numbers=dn, precision=precision
+  )
+  return out if bias is None else out + bias.astype(out.dtype)
+
+
+def space_to_depth(x: jax.Array, block: int) -> jax.Array:
+  b, h, w, c = x.shape
+  x = x.reshape(b, h // block, block, w // block, block, c)
+  x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+  return x.reshape(b, h // block, w // block, block * block * c)
+
+
 def gdn_phase(
     x_p: jax.Array,
     beta: jax.Array,

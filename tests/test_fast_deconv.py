@@ -117,3 +117,39 @@ def test_pallas_final_deconv_odd_batch():
   ref = fd.packed_conv_transpose(mid_p, k5, b5, 2, 8)
   out = tf2._final_deconv_phase_rolled_impl(mid_p, k5, b5, c_in=12)
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("k,s,cin", [(5, 2, 3), (5, 2, 12), (3, 2, 3), (7, 4, 4), (9, 4, 3)])
+def test_strided_conv_s2d_matches_lax(k, s, cin):
+  rng = np.random.default_rng(7)
+  z = jnp.asarray(rng.normal(0, 1, (2, 8, 12, cin)).astype(np.float32))
+  kern = jnp.asarray(rng.normal(0, 0.2, (k, k, cin, 5)).astype(np.float32))
+  bias = jnp.asarray(rng.normal(0, 0.1, (5,)).astype(np.float32))
+  dn = jax.lax.conv_dimension_numbers(z.shape, kern.shape, ("NHWC", "HWIO", "NHWC"))
+  ref = jax.lax.conv_general_dilated(z, kern, (s, s), "SAME", dimension_numbers=dn) + bias
+  np.testing.assert_allclose(
+      np.asarray(fd.strided_conv_s2d(z, kern, bias, s)),
+      np.asarray(ref), atol=1e-4,
+  )
+
+
+@pytest.mark.parametrize("h,w,c", [(16, 12, 8), (8, 6, 4)])
+def test_fused_resblock_matches_dense(h, w, c):
+  from shallow_ntc_tpu.ops.pallas import resblock as rb
+
+  rng = np.random.default_rng(8)
+  x = jnp.asarray(rng.normal(0, 1, (2, h, w, c)).astype(np.float32))
+  w1 = jnp.asarray(rng.normal(0, 0.2, (c, c // 2)).astype(np.float32))
+  b1 = jnp.asarray(rng.normal(0, 0.1, (c // 2,)).astype(np.float32))
+  w2 = jnp.asarray(rng.normal(0, 0.2, (3, 3, c // 2, c // 2)).astype(np.float32))
+  b2 = jnp.asarray(rng.normal(0, 0.1, (c // 2,)).astype(np.float32))
+  w3 = jnp.asarray(rng.normal(0, 0.2, (c // 2, c)).astype(np.float32))
+  b3 = jnp.asarray(rng.normal(0, 0.1, (c,)).astype(np.float32))
+  ref = rb._dense_resblock(x, w1, b1, w2, b2, w3, b3, act=jax.nn.relu)
+  out = rb.fused_resblock(x, w1, b1, w2, b2, w3, b3)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+  # gradients flow through the custom VJP (dense backward)
+  g = jax.grad(lambda xx: jnp.sum(rb.fused_resblock(xx, w1, b1, w2, b2, w3, b3)))(x)
+  gr = jax.grad(lambda xx: jnp.sum(rb._dense_resblock(
+      xx, w1, b1, w2, b2, w3, b3, act=jax.nn.relu)))(x)
+  np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-4)
