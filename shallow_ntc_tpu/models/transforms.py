@@ -752,7 +752,10 @@ class TwoLayerSynthesis(nn.Module):
       s1 = self.strides[0]
       p1 = self.conv1.variables["params"]
       k1 = p1["kernel"].astype(dtype)
-      if len(fd._phase_groups(self.kernel_sizes[0], s1)) > 1:
+      # Grouped taps win at batch >= ~4 (0.42 vs 0.55 ms at b=8); at batch 1
+      # (per-image eval/itinf) the small-tap convs do not amortize and the
+      # dense one-pass is ~2.3x faster (PERF_NOTES round 2).
+      if z.shape[0] >= 4 and len(fd._phase_groups(self.kernel_sizes[0], s1)) > 1:
         # Tap-window grouped phase conv (k13s8: 4/9 of the dense FLOPs are
         # zero tap padding); the activation applies per group piece and the
         # canonical layout is restored with static contiguous slices.
@@ -856,7 +859,9 @@ class TwoLayerResSynthesis(nn.Module):
       c = self.channels[0]
       kb = pb["kernel"].astype(dtype)
       kr = pr["kernel"].astype(dtype)
-      if len(fd._phase_groups(self.kernel_sizes[0], s1)) > 1:
+      # batch >= 4: see TwoLayerSynthesis — grouped only pays off when the
+      # small-tap convs amortize.
+      if z.shape[0] >= 4 and len(fd._phase_groups(self.kernel_sizes[0], s1)) > 1:
         # Tap-window grouped phase convs (k13s8 drops 4/9 of the dense
         # FLOPs as zero tap padding). Base and res run as separate grouped
         # convs; GDN and the sum apply per group piece (GDN only mixes

@@ -81,11 +81,15 @@ def test_final_deconv_phase_custom_vjp_exact():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
-def test_two_layer_res_train_mode_grads_match_unfused():
-  """End-to-end: fused (Pallas-forward) module grads == unfused module grads."""
+@pytest.mark.parametrize("batch", [2, 4])
+def test_two_layer_res_train_mode_grads_match_unfused(batch):
+  """End-to-end: fused (Pallas-forward) module grads == unfused module grads.
+
+  batch 2 exercises the dense one-pass branch, batch 4 the grouped-tap
+  branch (the fused path picks by batch size; see transforms.py)."""
   cfg = dict(cls="TwoLayerResSynthesis", channels=(12, 3), strides=(8, 2),
              kernel_sizes=(13, 5), activation_type="igdn", res_type="conv")
-  z = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 4, 16))
+  z = jax.random.normal(jax.random.PRNGKey(5), (batch, 4, 4, 16))
   fused = T.build_transform(dict(cfg))
   unfused = T.build_transform(dict(cfg), fused=False)
   params = fused.init(jax.random.PRNGKey(0), z)
