@@ -56,11 +56,15 @@ def main():
       by_lambda[str(r.get("rd_lambda"))].append(r)
     agg = {}
     for lam, rs in sorted(by_lambda.items(), key=lambda kv: float(kv[0] or 0)):
-      entry = {"num_images": len(rs)}
+      # Each record is a mean over `num_images` images (1 for per-image eval
+      # records; the itinf batch size for SGA batch records) — weight by it.
+      entry = {"num_images": sum(int(r.get("num_images", 1)) for r in rs)}
       for m in METRICS:
-        vals = [r[m] for r in rs if m in r and r[m] is not None]
-        if vals:
-          entry[m] = sum(float(v) for v in vals) / len(vals)
+        pairs = [(float(r[m]), int(r.get("num_images", 1)))
+                 for r in rs if m in r and r[m] is not None]
+        if pairs:
+          wsum = sum(w for _, w in pairs)
+          entry[m] = sum(v * w for v, w in pairs) / wsum
       agg[lam] = entry
     aggregate[method] = agg
 

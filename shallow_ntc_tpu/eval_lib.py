@@ -103,9 +103,13 @@ def find_workdir_by_wid(experiment_dir: str, wid) -> str:
   scheduler have no wid= prefix). A workdir passed directly (it contains
   train/checkpoints itself) is returned as-is, mirroring
   train_lib.resolve_warm_start_dir."""
-  if os.path.isdir(os.path.join(experiment_dir, "train", "checkpoints")):
-    return experiment_dir
   matches = sorted(glob.glob(os.path.join(experiment_dir, f"wid={wid}-*")))
+  if (not matches
+      and not glob.glob(os.path.join(experiment_dir, "wid=*"))
+      and os.path.isdir(os.path.join(experiment_dir, "train", "checkpoints"))):
+    # The dir is itself a workdir (and holds no wid=* work units at all):
+    # take the direct-workdir shortcut only in that unambiguous case.
+    return experiment_dir
   if not matches:
     candidates = [
         d for d in sorted(glob.glob(os.path.join(experiment_dir, "*")))
@@ -189,13 +193,6 @@ def _eval_generator(model, params, images, lpips_fn, step, spatial_devices):
     yield out, tuple(img.shape)
 
 
-def _evaluate_with_shapes(model, params, images, lpips_fn, step,
-                          spatial_devices=1):
-  """evaluate_images, also yielding each image's (padded-batch) shape."""
-  yield from _eval_generator(model, params, images, lpips_fn, step,
-                             spatial_devices)
-
-
 def eval_workdir(
     workdir: str,
     eval_data,
@@ -230,8 +227,8 @@ def eval_workdir(
   timing_cache: Dict[tuple, Dict[str, float]] = {}
   all_metrics: List[Dict] = []
   for instance_id, (metrics, img_shape) in enumerate(
-      _evaluate_with_shapes(model, params, eval_data, lpips_fn, step,
-                            spatial_devices=spatial_devices)
+      _eval_generator(model, params, eval_data, lpips_fn, step,
+                      spatial_devices)
   ):
     record = dict(metrics)
     if profile:

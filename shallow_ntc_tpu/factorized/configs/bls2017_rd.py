@@ -1,12 +1,13 @@
 """Balle-2017 factorized-prior model on dead leaves: budgeted R-D run.
 
 Companion to mshyper/configs/two_layer_syn_rd.py for the factorized family
-(reference factorized/configs/bls2017.py); 20k steps, two rate points.
+(reference factorized/configs/bls2017.py); 20k steps, the paper's seven
+rate points (mshyper/configs/two_layer_syn.py:73).
 """
 
 import ml_collections
 
-RD_LAMBDAS = [0.0025, 0.02]
+RD_LAMBDAS = [0.00125, 0.0025, 0.005, 0.01, 0.02, 0.04, 0.08]
 
 
 def get_config():

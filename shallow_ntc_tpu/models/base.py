@@ -60,7 +60,9 @@ def resolve_uq_config(latent_config: Mapping, step, itinf: bool = False) -> Dict
         ub=cfg["tau_ub"],
         lb=cfg.get("tau_lb", 1e-8),
         t0=cfg["tau_t0"],
+        scheme=cfg.get("tau_scheme", "exp"),
     )
+    cfg.pop("tau_scheme", None)
   return cfg
 
 

@@ -27,7 +27,6 @@ from shallow_ntc_tpu.models import base
 from shallow_ntc_tpu.models.transforms import (
     build_transform,
     transform_output_depth,
-    transform_scale_factor,
 )
 from shallow_ntc_tpu.ops import entropy
 from shallow_ntc_tpu.ops import metrics_ops
@@ -47,7 +46,6 @@ class Model(nn.Module):
   offset_heuristic: bool = True
   transform_config: Mapping[str, Any] = base.EMPTY_DICT
   latent_config: Mapping[str, Any] = base.DEFAULT_LATENT_CONFIG
-  profile: bool = False
   dtype: Optional[Any] = None
 
   def setup(self):

@@ -4,15 +4,15 @@ Same model as two_layer_syn.py (ELIC analysis + two-layer residual synthesis,
 reference mshyper/configs/two_layer_syn.py) but trained for a 30k-step budget
 on the locally generated dead-leaves dataset
 (scripts/make_deadleaves_dataset.py) to produce committed rate-distortion
-evidence (results/rd_deadleaves, RD_REPORT.md). The sweep covers three of the
-paper's seven rd_lambda values, spanning the low/mid/high rate regime; the
+evidence (results/rd_deadleaves, RD_REPORT.md). The sweep covers all seven of
+the paper's rd_lambda values (reference mshyper/configs/two_layer_syn.py:73); the
 LR-drop (80% of schedule) and lambda warm-up (10x for the first 20% when
 lambda <= 0.01) mechanics all engage at this scale.
 """
 
 import ml_collections
 
-RD_LAMBDAS = [0.0025, 0.01, 0.04]
+RD_LAMBDAS = [0.00125, 0.0025, 0.005, 0.01, 0.02, 0.04, 0.08]
 
 
 def get_config():

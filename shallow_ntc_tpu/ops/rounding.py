@@ -105,12 +105,19 @@ def sga_round(
   )
 
 
-def sga_schedule_at_step(t, r, ub, lb=1e-8, t0=200.0):
-  """SGA temperature at step t: ub * exp(-r * (t - t0)), clipped to [lb, ub].
+def sga_schedule_at_step(t, r, ub, lb=1e-8, t0=200.0, scheme="exp"):
+  """SGA temperature at step t, clipped to [lb, ub].
 
-  Mirrors /root/reference/common/latent_rvs_utils.py:90-103 (the closed form
-  the models consume). Safe to call with a traced step inside jit/scan.
+  Mirrors /root/reference/common/latent_rvs_utils.py:55-85 (both the 'exp'
+  closed form the models consume, ub * exp(-r * (t - t0)), and the 'linear'
+  cooling variant ub - r * (t - t0)). Safe to call with a traced step
+  inside jit/scan; `scheme` must be static.
   """
   t = jnp.asarray(t, jnp.float32)
-  tau = ub * jnp.exp(-r * (t - t0))
+  if scheme == "exp":
+    tau = ub * jnp.exp(-r * (t - t0))
+  elif scheme == "linear":
+    tau = -r * (t - t0) + ub
+  else:
+    raise NotImplementedError(f"unknown SGA schedule scheme {scheme!r}")
   return jnp.minimum(jnp.maximum(tau, lb), ub)

@@ -59,11 +59,27 @@ def spatial_sharding(mesh: Mesh, data_axis="data", spatial_axis="spatial"):
   return NamedSharding(mesh, P(data_axis, spatial_axis))
 
 
+def _replicate_state(state, repl):
+  """Replicate a host-resident pytree onto the mesh.
+
+  Multi-host: device_put cannot target non-addressable shardings, but for a
+  fully-replicated sharding every process holds the complete value, so
+  make_array_from_process_local_data assembles it (all processes initialize
+  identically from the same seed).
+  """
+  host = jax.device_get(state)
+  if jax.process_count() > 1:
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)),
+        host)
+  return jax.device_put(host, repl)
+
+
 def shard_train_functions(mesh: Mesh, train_step, eval_step, state):
   """jit train/eval steps with DP shardings; returns (train, eval, state)."""
   repl = replicated(mesh)
   batch_sh = batch_sharding(mesh)
-  state = jax.device_put(jax.device_get(state), repl)
+  state = _replicate_state(state, repl)
   train_jit = jax.jit(
       train_step, in_shardings=(repl, batch_sh), out_shardings=(repl, None),
       donate_argnums=(0,),
@@ -86,7 +102,7 @@ def shard_window_functions(mesh: Mesh, window_step, eval_step, state):
   """
   repl = replicated(mesh)
   wsh = window_sharding(mesh)
-  state = jax.device_put(jax.device_get(state), repl)
+  state = _replicate_state(state, repl)
   train_jit = jax.jit(
       window_step, in_shardings=(repl, wsh), out_shardings=(repl, None),
       donate_argnums=(0,),
@@ -95,15 +111,34 @@ def shard_window_functions(mesh: Mesh, window_step, eval_step, state):
   return train_jit, eval_jit, state
 
 
+def _put_local_shard(local, sharding):
+  """Assemble a global array from this process's batch rows (multi-host)."""
+  return jax.make_array_from_process_local_data(sharding, local)
+
+
 def put_window(window, mesh: Optional[Mesh]):
-  """Transfer a [W, B, ...] window, per-step batch sharded over 'data'."""
+  """Transfer a [W, B, ...] window, per-step batch sharded over 'data'.
+
+  In multi-process mode `window` holds only this process's batch rows
+  (parallel.distributed.shard_batches); the global array is assembled from
+  the per-process shards.
+  """
   if mesh is None:
     return jax.device_put(window)
-  return jax.device_put(window, window_sharding(mesh))
+  sh = window_sharding(mesh)
+  if jax.process_count() > 1:
+    return _put_local_shard(window, sh)
+  return jax.device_put(window, sh)
 
 
 def put_batch(batch, mesh: Optional[Mesh]):
-  """Transfer a host batch to device(s), sharded over 'data' if mesh given."""
+  """Transfer a host batch to device(s), sharded over 'data' if mesh given.
+
+  Multi-process: `batch` is the process-local rows; see put_window.
+  """
   if mesh is None:
     return jax.device_put(batch)
-  return jax.device_put(batch, batch_sharding(mesh))
+  sh = batch_sharding(mesh)
+  if jax.process_count() > 1:
+    return _put_local_shard(batch, sh)
+  return jax.device_put(batch, sh)

@@ -309,18 +309,34 @@ def restore_params_from_dir(ckpt_dir: str, state: TrainState) -> TrainState:
 # ---------------------------------------------------------------------------
 # The train/eval loop (reference train_lib.py:87-258)
 # ---------------------------------------------------------------------------
-def evaluate_model(eval_step_fn, state, val_iter, max_batches=None) -> Metrics:
+def evaluate_model(eval_step_fn, state, val_iter, max_batches=None,
+                   mesh=None) -> Metrics:
+  from shallow_ntc_tpu.parallel import distributed
+  from shallow_ntc_tpu.parallel import mesh as mesh_lib
+
+  if distributed.is_multiprocess():
+    val_iter = distributed.shard_batches(iter(val_iter))
   all_metrics = []
   images = None
   for i, batch in enumerate(val_iter):
     if max_batches is not None and i >= max_batches:
       break
-    metrics, rec = eval_step_fn(state, jnp.asarray(batch))
+    if distributed.is_multiprocess():
+      batch = mesh_lib.put_batch(np.asarray(batch), mesh)
+    else:
+      batch = jnp.asarray(batch)
+    metrics, rec = eval_step_fn(state, batch)
     m = Metrics.make()
     m.record_scalars(jax.device_get(metrics))
     all_metrics.append(m)
     if images is None:
-      images = np.asarray(jax.device_get(rec))
+      if isinstance(rec, jax.Array) and not rec.is_fully_addressable:
+        # Multi-host: the reconstruction is batch-sharded across processes;
+        # keep this host's rows for the sample grid.
+        images = np.concatenate(
+            [np.asarray(s.data) for s in rec.addressable_shards])
+      else:
+        images = np.asarray(jax.device_get(rec))
   merged = Metrics.merge_metrics(all_metrics)
   if images is not None:
     merged.record_image("reconstruction", images)
@@ -348,8 +364,15 @@ def simple_train_eval_loop(
   warm_start = cfg.get("warm_start", None)
   warm_start_wid = cfg.get("warm_start_wid", None)
 
-  train_writer = writers_lib.create_default_writer(workdir, collection="train")
-  val_writer = writers_lib.create_default_writer(workdir, collection="val")
+  # In multi-host runs only process 0 writes workdir files (TB/JSONL);
+  # the others keep logging-only writers (parallel/distributed.py).
+  from shallow_ntc_tpu.parallel import distributed
+
+  just_logging = not distributed.is_primary()
+  train_writer = writers_lib.create_default_writer(
+      workdir, collection="train", just_logging=just_logging)
+  val_writer = writers_lib.create_default_writer(
+      workdir, collection="val", just_logging=just_logging)
 
   state, tx, lr_fn = create_train_state(
       model, optimizer_config, jax.random.PRNGKey(seed), input_shape
@@ -411,7 +434,9 @@ def simple_train_eval_loop(
   start_step = int(state.step)
   t_last = time.time()
   steps_since_log = 0
-  train_it = iter(train_iter)
+  # Multi-host: every process iterates the identical globally-seeded stream
+  # and keeps its rows; put_window assembles the global array from them.
+  train_it = iter(distributed.shard_batches(iter(train_iter)))
   step = start_step
 
   while step < num_steps:
@@ -431,7 +456,8 @@ def simple_train_eval_loop(
 
     if step % eval_every == 0 or step == num_steps:
       val_metrics = evaluate_model(
-          eval_step, state, val_iter_factory(), max_batches=max_val_batches
+          eval_step, state, val_iter_factory(), max_batches=max_val_batches,
+          mesh=mesh,
       )
       val_writer.write_scalars(step, val_metrics.scalars_float())
       try:

@@ -34,6 +34,16 @@ def define_common_flags(default_experiments_dir: str):
       "matmul_precision", "highest",
       "jax default_matmul_precision for training (highest = full f32).",
   )
+  # Multi-host (pod slice / multi-process) bring-up: SURVEY section 2.8's
+  # jax.distributed disposition. On TPU pod slices only --coordinator is
+  # needed (process layout is auto-detected); CPU/manual bring-up also
+  # passes --num_processes/--process_id.
+  flags.DEFINE_string(
+      "coordinator", None,
+      "host:port of process 0; enables jax.distributed multi-host init.",
+  )
+  flags.DEFINE_integer("num_processes", None, "Total process count.")
+  flags.DEFINE_integer("process_id", None, "This process's index.")
 
 
 def load_config_module(config_filename: str):
@@ -82,6 +92,11 @@ def run_train_main(family: str):
   def main(argv):
     if len(argv) > 1:
       raise app.UsageError("Too many command-line arguments.")
+    if FLAGS.coordinator:
+      from shallow_ntc_tpu.parallel import distributed
+
+      distributed.initialize(
+          FLAGS.coordinator, FLAGS.num_processes, FLAGS.process_id)
     from shallow_ntc_tpu.utils.jax_setup import setup_jax
 
     setup_jax(FLAGS.matmul_precision)

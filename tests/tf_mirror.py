@@ -437,3 +437,220 @@ class TFModelMirror(tf.Module):
           dict(transform_config["hyper_synthesis"]),
           model_params["_hyper_synthesis"])
     self._prior = mirror_prior(model_params["_prior"])
+
+
+# ---------------------------------------------------------------------------
+# Full-model loss mirror (reference mshyper/models.py:234-359).
+#
+# Composes the per-block mirrors above into the reference's COMPLETE
+# end_to_end_frame_loss: reflect padding -> analysis/hyper-analysis (genuine
+# tf.nn convs) -> the three quantization branches (unoise / mixedq / sga) of
+# both entropy models -> bpp accounting -> [0,255] distortion -> lambda
+# warm-up -> rd_loss. Entropy/metrics math runs in float64 numpy/scipy so the
+# mirror doubles as a high-precision oracle. Stochastic branches take the
+# noise/gumbel draws as explicit arguments so the JAX model's exact samples
+# can be replayed.
+# ---------------------------------------------------------------------------
+_LIKELIHOOD_FLOOR = 1e-9  # tfc ContinuousEntropyModel likelihood_bound default
+
+# Scale table constants (reference mshyper/models.py:28-32).
+_NUM_SCALES = 64
+_SCALE_MIN = 0.11
+_SCALE_MAX = 256.0
+_SCALE_FACTOR = (math.log(_SCALE_MAX) - math.log(_SCALE_MIN)) / (_NUM_SCALES - 1.0)
+
+
+def np_pad_reflect(x, div):
+  """pad_images (reference common/image_utils.py:41-66): bottom/right reflect."""
+  _, h, w, _ = x.shape
+  ph, pw = (-h) % div, (-w) % div
+  if ph == 0 and pw == 0:
+    return x
+  return np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+
+
+def np_prior_offset(tf_prior, channels, iters=80):
+  """Per-channel median of the DeepFactorized prior by vectorized bisection
+  on the TF CDF logits, then tfc's quantization_offset = med - round(med).
+  (The bisection/brentq agreement is separately unit-tested in
+  test_tf_parity.test_quantization_offset_median_vs_brentq.)"""
+  lo = np.full((channels,), -200.0)
+  hi = np.full((channels,), 200.0)
+  for _ in range(iters):
+    mid = 0.5 * (lo + hi)
+    val = tf_prior.logits_cdf(
+        tf.constant(mid[None, :].astype(np.float32))).numpy()[0].astype(np.float64)
+    gt = val > 0.0  # logit > 0 <=> cdf > 1/2 <=> median to the left
+    hi = np.where(gt, mid, hi)
+    lo = np.where(gt, lo, mid)
+  med = 0.5 * (lo + hi)
+  return med - np.round(med)
+
+
+def np_prior_bits(tf_prior, z, coding_rank=3):
+  """Noisy DeepFactorized bits: log2(c(z+.5) - c(z-.5)), tfc sign trick +
+  likelihood floor, computed in float64 from the TF logits."""
+  lo = tf_prior.logits_cdf(tf.constant(np.asarray(z - 0.5, np.float32))).numpy()
+  up = tf_prior.logits_cdf(tf.constant(np.asarray(z + 0.5, np.float32))).numpy()
+  lo = lo.astype(np.float64)
+  up = up.astype(np.float64)
+  sign = -np.sign(lo + up)
+  sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+  p = np.abs(sig(sign * up) - sig(sign * lo))
+  p = np.maximum(p, _LIKELIHOOD_FLOOR)
+  axes = tuple(range(-coding_rank, 0))
+  return np.sum(np.log(p), axis=axes) / -math.log(2.0)
+
+
+def np_indexed_gaussian_bits(centered, indexes, coding_rank=3):
+  """Noisy zero-mean Gaussian bits with the log-spaced 64-entry scale table:
+  indexes (the exp'd hyper-synthesis output) clipped to [0, 63] and mapped
+  through scale_fn (reference mshyper/models.py:28-32 + tfc
+  LocationScaleIndexedEntropyModel)."""
+  from scipy.special import log_ndtr
+
+  idx = np.clip(np.asarray(indexes, np.float64), 0.0, _NUM_SCALES - 1.0)
+  # scale_fn evaluates in f32 in the compute path; mirror that rounding.
+  scales = np.exp(math.log(_SCALE_MIN) + _SCALE_FACTOR * idx.astype(np.float32)
+                  ).astype(np.float64)
+  y = -np.abs(np.asarray(centered, np.float64))
+  big = log_ndtr((y + 0.5) / scales)
+  small = log_ndtr((y - 0.5) / scales)
+  logp = big + np.log(-np.expm1(np.minimum(small - big, -1e-20)))
+  logp = np.maximum(logp, math.log(_LIKELIHOOD_FLOOR))
+  axes = tuple(range(-coding_rank, 0))
+  return np.sum(logp, axis=axes) / -math.log(2.0)
+
+
+def np_sga_round(mu, tau, gumbels, offset=None, epsilon=1e-5):
+  """SGA rounding with explicit Gumbel draws (reference
+  common/latent_rvs_utils.py:8-37)."""
+  v = mu if offset is None else mu - offset
+  f, c = np.floor(v), np.ceil(v)
+  d_f = np.clip(v - f, -1.0 + epsilon, 1.0 - epsilon)
+  d_c = np.clip(c - v, -1.0 + epsilon, 1.0 - epsilon)
+  logits = np.stack([-np.arctanh(d_f) / tau, -np.arctanh(d_c) / tau], axis=-1)
+  a = (logits + gumbels) / tau
+  a = a - a.max(axis=-1, keepdims=True)
+  w = np.exp(a)
+  w = w / w.sum(axis=-1, keepdims=True)
+  s = f * w[..., 0] + c * w[..., 1]
+  return s if offset is None else s + offset
+
+
+def np_sga_tau(step, r, ub, lb=1e-8, t0=200.0):
+  """SGA temperature schedule (reference common/latent_rvs_utils.py:55-85)."""
+  return float(np.clip(ub * np.exp(-r * (step - t0)), lb, ub))
+
+
+def mirror_scheduled_rd_lambda(rd_lambda, step, scheduled_num_steps, itinf=False):
+  """Lambda warm-up: 10x for the first 20% of training when lambda <= 0.01
+  (reference mshyper/models.py:40-41, 167-184)."""
+  if rd_lambda <= 0.01 and not itinf:
+    if step < int(scheduled_num_steps * 0.2):
+      return rd_lambda * 10.0
+  return rd_lambda
+
+
+def mirror_full_frame_loss(
+    tf_model,
+    image_batch,
+    *,
+    uq_method,
+    training,
+    rd_lambda,
+    scheduled_num_steps,
+    downsample_factor,
+    step=0,
+    offset_heuristic=True,
+    noise_z=None,
+    noise_y=None,
+    gumbels_z=None,
+    gumbels_y=None,
+    sga_tau=None,
+    itinf=False,
+):
+  """TF/float64 mirror of the complete reference loss. Returns a dict with
+  rd_loss / bpp / mse / psnr / sched_rd_lambda (+ z_hat, y_hat for debugging).
+
+  Stochastic draws (uniform noise for unoise/mixedq training, Gumbels for
+  sga training) must be passed in explicitly; eval mode needs none.
+  """
+  x = np_pad_reflect(np.asarray(image_batch, np.float32), downsample_factor)
+  y = tf_model._analysis(tf.constant(x)).numpy().astype(np.float64)
+  z = tf_model._hyper_analysis(tf.constant(y.astype(np.float32))).numpy()
+  z = z.astype(np.float64)
+
+  z_offset = (
+      np_prior_offset(tf_model._prior, z.shape[-1])
+      if offset_heuristic else None
+  )
+
+  def quant(v, off=None):
+    return np.round(v) if off is None else np.round(v - off) + off
+
+  # Side (hyper) entropy model: the three branches (reference :253-268).
+  if uq_method == "unoise":
+    if training:
+      z_hat = z + noise_z
+    else:
+      z_hat = quant(z, z_offset)
+    z_bits = np_prior_bits(tf_model._prior, z_hat)
+  elif uq_method == "mixedq":
+    z_noisy = z + noise_z if training else quant(z, z_offset)
+    z_bits = np_prior_bits(tf_model._prior, z_noisy)
+    z_hat = quant(z, z_offset)
+  elif uq_method == "sga":
+    if training:
+      z_hat = np_sga_round(z, sga_tau, gumbels_z, offset=z_offset)
+    else:
+      z_hat = quant(z, z_offset)
+    z_bits = np_prior_bits(tf_model._prior, z_hat)
+  else:
+    raise NotImplementedError(uq_method)
+
+  hyper_out = tf_model._hyper_synthesis(
+      tf.constant(z_hat.astype(np.float32))).numpy().astype(np.float64)
+  mu, raw = np.split(hyper_out, 2, axis=-1)
+  # sigma made positive via exp; f32 in the compute path (reference :274-276).
+  indexes = np.exp(raw.astype(np.float32)).astype(np.float64)
+
+  # Main (scale-indexed Gaussian) entropy model (reference :277-291).
+  if uq_method == "unoise":
+    if training:
+      y_hat = y + noise_y
+    else:
+      y_hat = quant(y - mu) + mu
+    y_bits = np_indexed_gaussian_bits(y_hat - mu, indexes)
+  elif uq_method == "mixedq":
+    y_noisy = (y + noise_y) if training else (quant(y - mu) + mu)
+    y_bits = np_indexed_gaussian_bits(y_noisy - mu, indexes)
+    y_hat = quant(y - mu) + mu
+  else:  # sga
+    if training:
+      y_hat = np_sga_round(y, sga_tau, gumbels_y, offset=mu)
+    else:
+      y_hat = quant(y - mu) + mu
+    y_bits = np_indexed_gaussian_bits(y_hat - mu, indexes)
+
+  rec = tf_model._synthesis(tf.constant(y_hat.astype(np.float32))).numpy()
+  rec = rec[:, : image_batch.shape[1], : image_batch.shape[2], :]
+
+  num_pixels = float(image_batch.shape[1] * image_batch.shape[2])
+  bpp = float(np.mean(z_bits) / num_pixels + np.mean(y_bits) / num_pixels)
+
+  # [0, 255] distortion (reference :310-318; common/data_lib.py:48-52).
+  img255 = (np.asarray(image_batch, np.float64) + 0.5) * 255.0
+  rec255 = (rec.astype(np.float64) + 0.5) * 255.0
+  if not training:
+    img255 = np.clip(np.round(img255), 0, 255)
+    rec255 = np.clip(np.round(rec255), 0, 255)
+  per_image_mse = np.mean((img255 - rec255) ** 2, axis=(1, 2, 3))
+  mse = float(np.mean(per_image_mse))
+  psnr = float(np.mean(-10.0 * (np.log(per_image_mse) - 2 * np.log(255.0))
+                       / math.log(10.0)))
+
+  sched = mirror_scheduled_rd_lambda(rd_lambda, step, scheduled_num_steps, itinf)
+  rd_loss = bpp + sched * mse
+  return dict(rd_loss=rd_loss, bpp=bpp, mse=mse, psnr=psnr,
+              sched_rd_lambda=sched, z_hat=z_hat, y_hat=y_hat, mu=mu)
