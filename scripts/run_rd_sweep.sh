@@ -20,7 +20,7 @@ mark() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
 mark "=== mshyper 7-lambda sweep (xid 201b91d1) ==="
 for hid in 0 1 2 3 4 5 6; do
   mark "mshyper hid=$hid"
-  SLURM_JOB_ID=201b91d1 timeout 3600 python -m shallow_ntc_tpu.mshyper.train \
+  SLURM_JOB_ID=201b91d1 timeout 5400 python -m shallow_ntc_tpu.mshyper.train \
     --config shallow_ntc_tpu/mshyper/configs/two_layer_syn_rd.py \
     --experiments_dir ./train_xms_rd --matmul_precision default --hid $hid \
     >> "$LOG" 2>&1 || mark "FAILED mshyper hid=$hid (rc=$?)"

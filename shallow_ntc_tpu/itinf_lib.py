@@ -41,7 +41,17 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
     )
     return latents, tx.init(latents)
 
-  def loss_fn(latents, params, batch, rng, step):
+  def frozen_offset_fn(params):
+    """The offset-heuristic grid (a 60-iteration CDF bisection) is a pure
+    function of the FROZEN prior params: compute it once per jitted scan
+    call instead of inside every SGA step (it otherwise dominates the step:
+    a sequential chain of tiny per-channel matmuls that XLA cannot hoist
+    out of the scan body)."""
+    return model.apply(
+        {"params": params}, method=model_cls.prior_quantization_offset
+    )
+
+  def loss_fn(latents, params, batch, rng, step, offset):
     loss, metrics, _ = model.apply(
         {"params": params},
         batch,
@@ -50,17 +60,20 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
         rng=rng,
         step=step,
         itinf=True,
+        frozen_offset=offset,
         method=model_cls.frame_loss_given_latent_rvs,
     )
     return loss, metrics
 
   def scan_fn(params, batch, latents, opt_state, start_step, n_steps, rng):
+    offset = frozen_offset_fn(params)
+
     def body(carry, i):
       latents, opt_state = carry
       step = start_step + i
       step_rng = jax.random.fold_in(rng, step)
       (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-          latents, params, batch, step_rng, step
+          latents, params, batch, step_rng, step, offset
       )
       updates, opt_state = tx.update(grads, opt_state, latents)
       latents = jax.tree_util.tree_map(
@@ -83,6 +96,7 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
         rng=None,
         step=step,
         itinf=True,
+        frozen_offset=frozen_offset_fn(params),
         method=model_cls.frame_loss_given_latent_rvs,
     )
     return metrics, rec

@@ -106,6 +106,55 @@ class ResidualBlock(nn.Module):
     return x + h
 
 
+
+def _use_fused_chain(mod) -> bool:
+  """Gate for the fused ResidualBlock-chain kernel (ops/pallas/rb_chain.py).
+
+  Default ON for the TPU backend at apply time; set SNTC_FUSED_RB_CHAIN=0
+  to force the per-block XLA path (A/B measurement, debugging) or =1 on CPU
+  to exercise the kernel in pallas interpret mode (tests)."""
+  import os
+
+  default = "1" if jax.default_backend() == "tpu" else "0"
+  return (
+      not mod.is_initializing()
+      and os.environ.get("SNTC_FUSED_RB_CHAIN", default) == "1"
+      and jax.default_backend() in ("tpu", "cpu")
+  )
+
+
+def _chain_params(parent_params, names):
+  """Per-block (w1, b1, w2, b2, w3, b3) from bound ResidualBlock subtrees."""
+  out = []
+  for nm in names:
+    p = parent_params[nm]
+    out.append(
+        (
+            p["Conv_0"]["kernel"][0, 0], p["Conv_0"]["bias"],
+            p["Conv_1"]["kernel"], p["Conv_1"]["bias"],
+            p["Conv_2"]["kernel"][0, 0], p["Conv_2"]["bias"],
+        )
+    )
+  return tuple(out)
+
+
+def _run_rb_chain(mod, h, names, dtype):
+  """Run `names` consecutive ResidualBlocks: fused Pallas chain at apply
+  time (one HBM round trip for the whole chain), per-block modules during
+  init / when gated off. Submodule names are pinned so the parameter tree
+  is identical on both paths (checkpoint/converter layout stability)."""
+  if _use_fused_chain(mod):
+    from shallow_ntc_tpu.ops.pallas import rb_chain
+
+    params = _chain_params(mod.variables["params"], names)
+    if dtype is not None:
+      h = h.astype(dtype)
+    return rb_chain.fused_rb_chain(h, params, act_name="relu")
+  for nm in names:
+    h = ResidualBlock(h.shape[-1], dtype=dtype, name=nm)(h)
+  return h
+
+
 class SimpleAttention(nn.Module):
   """Cheng-2020 simplified attention: x + trunk(x) * sigmoid(branch(x))."""
 
@@ -113,13 +162,12 @@ class SimpleAttention(nn.Module):
 
   @nn.compact
   def __call__(self, x: jax.Array) -> jax.Array:
-    trunk = x
-    for _ in range(3):
-      trunk = ResidualBlock(trunk.shape[-1], dtype=self.dtype)(trunk)
-    branch = x
-    for _ in range(3):
-      branch = ResidualBlock(branch.shape[-1], dtype=self.dtype)(branch)
-    gate = jax.nn.sigmoid(_conv(x.shape[-1], 1, dtype=self.dtype)(branch))
+    trunk = _run_rb_chain(
+        self, x, [f"ResidualBlock_{i}" for i in range(3)], self.dtype)
+    branch = _run_rb_chain(
+        self, x, [f"ResidualBlock_{i}" for i in range(3, 6)], self.dtype)
+    gate = jax.nn.sigmoid(
+        _conv(x.shape[-1], 1, dtype=self.dtype, name="Conv_0")(branch))
     return x + trunk * gate
 
 
@@ -160,11 +208,15 @@ class ElicAnalysis(nn.Module):
   def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
     del training
     convs = list(zip(self.channels, self.kernel_sizes, self.strides))
+    rb_counter = [0]
 
     def res_blocks(h):
-      for _ in range(self.num_residual_blocks):
-        h = ResidualBlock(h.shape[-1], dtype=self.dtype)(h)
-      return h
+      names = [
+          f"ResidualBlock_{rb_counter[0] + i}"
+          for i in range(self.num_residual_blocks)
+      ]
+      rb_counter[0] += self.num_residual_blocks
+      return _run_rb_chain(self, h, names, self.dtype)
 
     if len(convs) == 4:
       c, k, s = convs[0]
@@ -217,11 +269,15 @@ class ElicSynthesis(nn.Module):
   def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
     del training
     convs = list(zip(self.channels, self.kernel_sizes, self.strides))
+    rb_counter = [0]
 
     def res_blocks(h):
-      for _ in range(self.num_residual_blocks):
-        h = ResidualBlock(h.shape[-1], dtype=self.dtype)(h)
-      return h
+      names = [
+          f"ResidualBlock_{rb_counter[0] + i}"
+          for i in range(self.num_residual_blocks)
+      ]
+      rb_counter[0] += self.num_residual_blocks
+      return _run_rb_chain(self, h, names, self.dtype)
 
     x = SimpleAttention(dtype=self.dtype)(x)
     c, k, s = convs[0]

@@ -111,6 +111,7 @@ class Model(nn.Module):
       rng: Optional[jax.Array] = None,
       step=0,
       itinf: bool = False,
+      frozen_offset: Optional[jax.Array] = None,
   ):
     uq_cfg = base.resolve_uq_config(self.latent_config, step, itinf)
     uq_method = uq_cfg.get("method", "unoise")
@@ -119,7 +120,15 @@ class Model(nn.Module):
     )
 
     z_rv, y_rv = latent_rvs.uq
-    z_offset = self.prior_quantization_offset()
+    # The offset-heuristic grid is a 60-iteration bisection over the prior
+    # CDF -- a pure function of the prior params. During iterative inference
+    # the params are FROZEN, so the caller precomputes it once per scan
+    # segment (itinf_lib) instead of paying the sequential bisection chain
+    # inside every SGA step; `frozen_offset` short-circuits the recompute.
+    if frozen_offset is not None:
+      z_offset = frozen_offset if self.offset_heuristic else None
+    else:
+      z_offset = self.prior_quantization_offset()
 
     # Side (hyper) entropy model -- three relaxation branches (ref :253-268).
     if uq_method == "unoise":

@@ -256,9 +256,14 @@ def restore_checkpoint(manager, state: TrainState) -> TrainState:
   step = manager.latest_step()
   if step is None:
     return state
-  restored = manager.restore(
-      step, args=ocp.args.StandardRestore(jax.device_get(state))
+  # Abstract restore target: shapes/dtypes only. A device_get of the
+  # freshly-initialized state would round-trip ~150 MB through the remote-TPU
+  # tunnel for values that are immediately overwritten (and tunnel fetch
+  # bandwidth can degrade to KB/s, turning that into a multi-minute stall).
+  abstract = jax.tree_util.tree_map(
+      lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), state
   )
+  restored = manager.restore(step, args=ocp.args.StandardRestore(abstract))
   logging.info("Restored checkpoint at step %d", step)
   return restored
 

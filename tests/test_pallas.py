@@ -108,3 +108,69 @@ def test_two_layer_res_train_mode_grads_match_unfused(batch):
     np.testing.assert_allclose(
         np.asarray(v), np.asarray(flat_u[jax.tree_util.keystr(path)]),
         rtol=1e-4, atol=1e-5, err_msg=jax.tree_util.keystr(path))
+
+
+class TestFusedRBChain:
+  """ops/pallas/rb_chain.py: the fused encode ResidualBlock-chain kernel
+  (interpret mode on CPU) against the dense XLA formulation."""
+
+  def _params(self, n, c, seed=0):
+    rng = np.random.default_rng(seed)
+    ch = c // 2
+    mk = lambda *shape: rng.normal(0, 0.3, shape).astype(np.float32)
+    return tuple(
+        (mk(c, ch), mk(ch), mk(3, 3, ch, ch), mk(ch), mk(ch, c), mk(c))
+        for _ in range(n)
+    )
+
+  @pytest.mark.parametrize("n_blocks", [1, 2, 3])
+  def test_chain_matches_dense(self, n_blocks):
+    from shallow_ntc_tpu.ops.pallas import rb_chain
+
+    c = 16
+    params = self._params(n_blocks, c, seed=n_blocks)
+    x = np.random.default_rng(7).normal(0, 1, (2, 32, 24, c)).astype(np.float32)
+    dense = rb_chain.dense_rb_chain(jnp.asarray(x), params, jax.nn.relu)
+    fused = rb_chain.fused_rb_chain(jnp.asarray(x), params)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(dense), rtol=2e-5, atol=2e-5)
+
+  def test_keep_pad_and_grad(self):
+    from shallow_ntc_tpu.ops.pallas import rb_chain
+
+    c, n = 8, 2
+    params = self._params(n, c, seed=9)
+    x = np.random.default_rng(3).normal(0, 1, (1, 16, 12, c)).astype(np.float32)
+    padded = rb_chain.fused_rb_chain_padded(jnp.asarray(x), params, "relu", True)
+    assert padded.shape == (1, 16, 12 + 2 * n, c)
+    dense = rb_chain.dense_rb_chain(jnp.asarray(x), params, jax.nn.relu)
+    np.testing.assert_allclose(
+        np.asarray(padded[:, :, n:-n]), np.asarray(dense), rtol=2e-5, atol=2e-5)
+
+    # Gradient flows through the custom VJP (dense backward).
+    g = jax.grad(
+        lambda xx: jnp.sum(rb_chain.fused_rb_chain(xx, params) ** 2)
+    )(jnp.asarray(x))
+    g_dense = jax.grad(
+        lambda xx: jnp.sum(rb_chain.dense_rb_chain(xx, params, jax.nn.relu) ** 2)
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_dense),
+                               rtol=1e-4, atol=1e-4)
+
+  def test_elic_analysis_fused_matches_dense(self, monkeypatch):
+    """The full ElicAnalysis transform (RB chains + attention) must be
+    identical with the fused path on and off, on the same params."""
+    from shallow_ntc_tpu.models import transforms
+
+    cfg = dict(cls="ElicAnalysis", channels=(8, 10, 12, 14),
+               num_residual_blocks=2)
+    mod = transforms.build_transform(dict(cfg))
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(0, 0.3, (1, 64, 96, 3)), jnp.float32)
+    monkeypatch.setenv("SNTC_FUSED_RB_CHAIN", "0")
+    v = mod.init(jax.random.PRNGKey(0), x)
+    dense = mod.apply(v, x)
+    monkeypatch.setenv("SNTC_FUSED_RB_CHAIN", "1")
+    fused = mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
