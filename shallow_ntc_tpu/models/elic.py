@@ -110,15 +110,15 @@ class ResidualBlock(nn.Module):
 def _use_fused_chain(mod) -> bool:
   """Gate for the fused ResidualBlock-chain kernel (ops/pallas/rb_chain.py).
 
-  Default ON for the TPU backend at apply time; set SNTC_FUSED_RB_CHAIN=0
-  to force the per-block XLA path (A/B measurement, debugging) or =1 on CPU
-  to exercise the kernel in pallas interpret mode (tests)."""
+  Default OFF: opt in with SNTC_FUSED_RB_CHAIN=1 (TPU measurement; on CPU
+  the kernel runs in pallas interpret mode for tests). Kept opt-in until the
+  kernel's val-shape compile behavior is qualified on the remote compiler —
+  a long-running training sweep must not inherit a compile regression."""
   import os
 
-  default = "1" if jax.default_backend() == "tpu" else "0"
   return (
       not mod.is_initializing()
-      and os.environ.get("SNTC_FUSED_RB_CHAIN", default) == "1"
+      and os.environ.get("SNTC_FUSED_RB_CHAIN", "0") == "1"
       and jax.default_backend() in ("tpu", "cpu")
   )
 

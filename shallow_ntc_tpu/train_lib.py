@@ -459,6 +459,12 @@ def simple_train_eval_loop(
       steps_since_log = 0
       train_writer.write_scalars(step, scalars)
 
+    # Checkpoint BEFORE the validation pass: the val eval compiles its own
+    # (full-image-shaped) program and a flaky remote compile there must not
+    # lose the trained weights at the final step.
+    if step % ckpt_every == 0 or step == num_steps:
+      save_checkpoint(manager, state)
+
     if step % eval_every == 0 or step == num_steps:
       val_metrics = evaluate_model(
           eval_step, state, val_iter_factory(), max_batches=max_val_batches,
@@ -469,9 +475,6 @@ def simple_train_eval_loop(
         val_writer.write_images(step, val_metrics.images_grid())
       except Exception as e:  # grid tiling can fail on ragged batches
         logging.warning("Skipping image grid: %s", e)
-
-    if step % ckpt_every == 0 or step == num_steps:
-      save_checkpoint(manager, state)
 
   manager.wait_until_finished()
   train_writer.flush()
