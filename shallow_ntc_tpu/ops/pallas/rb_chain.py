@@ -79,7 +79,13 @@ def dense_rb_chain(x, params: Sequence[Tuple], act):
 
 
 def _pick_rows(h: int) -> int:
-  for r in (32, 16, 8, 4):
+  import os
+
+  force = os.environ.get("SNTC_RB_ROWS")
+  if force:
+    r = int(force)
+    return r if h % r == 0 else 0
+  for r in (16, 32, 8, 4):
     if h % r == 0:
       return r
   return 0
