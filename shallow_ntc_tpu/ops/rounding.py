@@ -82,14 +82,17 @@ def _sga_round_no_offset(rng: jax.Array, mu: jax.Array, tau, epsilon: float = 1e
   # Distances to the two grid points, clipped into atanh's domain.
   d_floor = jnp.clip(mu - mu_floor, -1.0 + epsilon, 1.0 - epsilon)
   d_ceil = jnp.clip(mu_ceil - mu, -1.0 + epsilon, 1.0 - epsilon)
-  logits = jnp.stack(
-      [-jnp.arctanh(d_floor) / tau, -jnp.arctanh(d_ceil) / tau], axis=-1
-  )
-  # RelaxedOneHotCategorical(tau, logits).sample() == softmax((logits + G)/tau).
-  gumbels = jax.random.gumbel(rng, logits.shape, dtype=mu.dtype)
-  weights = jax.nn.softmax((logits + gumbels) / tau, axis=-1)
-  bounds = jnp.stack([mu_floor, mu_ceil], axis=-1)
-  return jnp.sum(bounds * weights, axis=-1)
+  # With two categories, RelaxedOneHotCategorical(tau, logits).sample()
+  # == softmax((logits + G)/tau) collapses to a sigmoid of the logit
+  # difference, and the difference of two i.i.d. Gumbels is a standard
+  # Logistic draw -- so sample one logistic per element instead of two
+  # gumbels and never materialize the stacked 2-category axis. Identical in
+  # distribution to the reference sampler (latent_rvs_utils.py:19-37);
+  # roughly halves the SGA sampling's elementwise + RNG work per itinf step.
+  logit_diff = (jnp.arctanh(d_floor) - jnp.arctanh(d_ceil)) / tau
+  logistic = jax.random.logistic(rng, mu.shape, dtype=mu.dtype)
+  w_ceil = jax.nn.sigmoid((logit_diff + logistic) / tau)
+  return mu_floor + (mu_ceil - mu_floor) * w_ceil
 
 
 def sga_round(

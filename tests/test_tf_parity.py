@@ -453,10 +453,10 @@ def _replay_draws(model, params, img, rng):
       noise_y=np.asarray(
           jax.random.uniform(rng_y, y_shape, jnp.float32, -0.5, 0.5),
           np.float64),
-      gumbels_z=np.asarray(
-          jax.random.gumbel(rng_z, z_shape + (2,), jnp.float32), np.float64),
-      gumbels_y=np.asarray(
-          jax.random.gumbel(rng_y, y_shape + (2,), jnp.float32), np.float64),
+      logistic_z=np.asarray(
+          jax.random.logistic(rng_z, z_shape, jnp.float32), np.float64),
+      logistic_y=np.asarray(
+          jax.random.logistic(rng_y, y_shape, jnp.float32), np.float64),
   )
   return draws
 

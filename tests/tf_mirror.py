@@ -522,19 +522,19 @@ def np_indexed_gaussian_bits(centered, indexes, coding_rank=3):
   return np.sum(logp, axis=axes) / -math.log(2.0)
 
 
-def np_sga_round(mu, tau, gumbels, offset=None, epsilon=1e-5):
-  """SGA rounding with explicit Gumbel draws (reference
-  common/latent_rvs_utils.py:8-37)."""
+def np_sga_round(mu, tau, logistic, offset=None, epsilon=1e-5):
+  """SGA rounding with an explicit Logistic draw (reference
+  common/latent_rvs_utils.py:8-37; the 2-category relaxed one-hot collapses
+  to a sigmoid of the logit difference plus Logistic noise = Gumbel_c -
+  Gumbel_f, matching ops/rounding._sga_round_no_offset)."""
   v = mu if offset is None else mu - offset
   f, c = np.floor(v), np.ceil(v)
   d_f = np.clip(v - f, -1.0 + epsilon, 1.0 - epsilon)
   d_c = np.clip(c - v, -1.0 + epsilon, 1.0 - epsilon)
-  logits = np.stack([-np.arctanh(d_f) / tau, -np.arctanh(d_c) / tau], axis=-1)
-  a = (logits + gumbels) / tau
-  a = a - a.max(axis=-1, keepdims=True)
-  w = np.exp(a)
-  w = w / w.sum(axis=-1, keepdims=True)
-  s = f * w[..., 0] + c * w[..., 1]
+  logit_diff = (np.arctanh(d_f) - np.arctanh(d_c)) / tau
+  a = (logit_diff + logistic) / tau
+  w_ceil = 1.0 / (1.0 + np.exp(-a))
+  s = f + (c - f) * w_ceil
   return s if offset is None else s + offset
 
 
@@ -565,8 +565,8 @@ def mirror_full_frame_loss(
     offset_heuristic=True,
     noise_z=None,
     noise_y=None,
-    gumbels_z=None,
-    gumbels_y=None,
+    logistic_z=None,
+    logistic_y=None,
     sga_tau=None,
     itinf=False,
 ):
@@ -602,7 +602,7 @@ def mirror_full_frame_loss(
     z_hat = quant(z, z_offset)
   elif uq_method == "sga":
     if training:
-      z_hat = np_sga_round(z, sga_tau, gumbels_z, offset=z_offset)
+      z_hat = np_sga_round(z, sga_tau, logistic_z, offset=z_offset)
     else:
       z_hat = quant(z, z_offset)
     z_bits = np_prior_bits(tf_model._prior, z_hat)
@@ -628,7 +628,7 @@ def mirror_full_frame_loss(
     y_hat = quant(y - mu) + mu
   else:  # sga
     if training:
-      y_hat = np_sga_round(y, sga_tau, gumbels_y, offset=mu)
+      y_hat = np_sga_round(y, sga_tau, logistic_y, offset=mu)
     else:
       y_hat = quant(y - mu) + mu
     y_bits = np_indexed_gaussian_bits(y_hat - mu, indexes)
