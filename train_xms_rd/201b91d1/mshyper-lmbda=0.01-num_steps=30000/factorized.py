@@ -20,7 +20,6 @@ from shallow_ntc_tpu.models import base
 from shallow_ntc_tpu.models.transforms import (
     build_transform,
     transform_output_depth,
-    transform_scale_factor,
 )
 from shallow_ntc_tpu.ops import entropy
 from shallow_ntc_tpu.ops import metrics_ops
@@ -34,7 +33,6 @@ class Model(nn.Module):
   offset_heuristic: bool = True
   transform_config: Mapping[str, Any] = base.EMPTY_DICT
   latent_config: Mapping[str, Any] = base.DEFAULT_LATENT_CONFIG
-  profile: bool = False
   dtype: Optional[Any] = None
 
   def setup(self):
@@ -73,11 +71,16 @@ class Model(nn.Module):
       rng: Optional[jax.Array] = None,
       step=0,
       itinf: bool = False,
+      frozen_offset: Optional[jax.Array] = None,
   ):
     uq_cfg = base.resolve_uq_config(self.latent_config, step, itinf)
     uq_method = uq_cfg.get("method", "unoise")
     (y_rv,) = latent_rvs.uq
-    offset = self.prior_quantization_offset()
+    # See mshyper.frame_loss_given_latent_rvs: precomputed during itinf.
+    if frozen_offset is not None:
+      offset = frozen_offset if self.offset_heuristic else None
+    else:
+      offset = self.prior_quantization_offset()
 
     # Three relaxation branches (reference factorized/models.py:105-118).
     if uq_method == "unoise":

@@ -27,7 +27,6 @@ from shallow_ntc_tpu.models import base
 from shallow_ntc_tpu.models.transforms import (
     build_transform,
     transform_output_depth,
-    transform_scale_factor,
 )
 from shallow_ntc_tpu.ops import entropy
 from shallow_ntc_tpu.ops import metrics_ops
@@ -47,7 +46,6 @@ class Model(nn.Module):
   offset_heuristic: bool = True
   transform_config: Mapping[str, Any] = base.EMPTY_DICT
   latent_config: Mapping[str, Any] = base.DEFAULT_LATENT_CONFIG
-  profile: bool = False
   dtype: Optional[Any] = None
 
   def setup(self):
@@ -113,6 +111,7 @@ class Model(nn.Module):
       rng: Optional[jax.Array] = None,
       step=0,
       itinf: bool = False,
+      frozen_offset: Optional[jax.Array] = None,
   ):
     uq_cfg = base.resolve_uq_config(self.latent_config, step, itinf)
     uq_method = uq_cfg.get("method", "unoise")
@@ -121,7 +120,15 @@ class Model(nn.Module):
     )
 
     z_rv, y_rv = latent_rvs.uq
-    z_offset = self.prior_quantization_offset()
+    # The offset-heuristic grid is a 60-iteration bisection over the prior
+    # CDF -- a pure function of the prior params. During iterative inference
+    # the params are FROZEN, so the caller precomputes it once per scan
+    # segment (itinf_lib) instead of paying the sequential bisection chain
+    # inside every SGA step; `frozen_offset` short-circuits the recompute.
+    if frozen_offset is not None:
+      z_offset = frozen_offset if self.offset_heuristic else None
+    else:
+      z_offset = self.prior_quantization_offset()
 
     # Side (hyper) entropy model -- three relaxation branches (ref :253-268).
     if uq_method == "unoise":
