@@ -60,6 +60,7 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),   # bucket LUT
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.rans_decode_multi.restype = ctypes.c_int32
@@ -73,7 +74,16 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),   # bucket LUT
             ctypes.POINTER(ctypes.c_int32),   # symbols_out
+        ]
+        lib.rans_build_lut.restype = None
+        lib.rans_build_lut.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
         ]
         _lib = lib
   return _lib
@@ -90,16 +100,33 @@ class CdfTables:
   raw-coded with ~34 bits).
   """
 
+  LUT_BITS = 12  # must match kLutBits in rans.cc
+
   def __init__(self, cdfs_list):
     self.sizes = np.asarray([len(c) - 1 for c in cdfs_list], np.int32)
     self.offsets = np.zeros(len(cdfs_list), np.int64)
     np.cumsum([len(c) for c in cdfs_list[:-1]], out=self.offsets[1:])
     self.cdfs = np.concatenate(cdfs_list).astype(np.uint32)
     assert all(c[0] == 0 and c[-1] == 65536 for c in cdfs_list)
+    self._lut = None
 
   @property
   def num_tables(self):
     return len(self.sizes)
+
+  @property
+  def lut(self) -> np.ndarray:
+    """Bucket lookup table for O(1) decode-side symbol search; built once
+    per table set (tables are a fixed function of the model params)."""
+    if self._lut is None:
+      lut = np.empty(self.num_tables << self.LUT_BITS, np.int32)
+      _get_lib().rans_build_lut(
+          _ptr(self.cdfs, ctypes.c_uint32), _ptr(self.offsets, ctypes.c_int64),
+          _ptr(self.sizes, ctypes.c_int32), ctypes.c_int32(self.num_tables),
+          _ptr(lut, ctypes.c_int32),
+      )
+      self._lut = lut
+    return self._lut
 
 
 def rans_encode(symbols, indexes, tables: CdfTables) -> bytes:
@@ -137,6 +164,7 @@ def rans_decode(data: bytes, indexes, tables: CdfTables) -> np.ndarray:
       _ptr(flat, ctypes.c_int32), ctypes.c_int64(n),
       _ptr(tables.cdfs, ctypes.c_uint32), _ptr(tables.offsets, ctypes.c_int64),
       _ptr(tables.sizes, ctypes.c_int32), ctypes.c_int32(tables.num_tables),
+      _ptr(tables.lut, ctypes.c_int32),
       _ptr(out, ctypes.c_int32),
   )
   if rc != 0:
@@ -157,7 +185,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 STRIPE_MIN_SYMBOLS = 32768   # don't split tiny tensors
 STREAM_FIXED_BYTES = 8       # 4-byte length prefix + 4-byte rANS flush
-MAX_STREAMS = 8
+MAX_STREAMS = 16
 
 _pool = None
 
@@ -223,6 +251,7 @@ def _decode_multi(chunks, flat_indexes, sym_offsets, tables: CdfTables,
       _ptr(flat_indexes, ctypes.c_int32),
       _ptr(tables.cdfs, ctypes.c_uint32), _ptr(tables.offsets, ctypes.c_int64),
       _ptr(tables.sizes, ctypes.c_int32), ctypes.c_int32(tables.num_tables),
+      _ptr(tables.lut, ctypes.c_int32),
       _ptr(out, ctypes.c_int32),
   )
   if rc != 0:
@@ -234,7 +263,7 @@ def rans_decode_striped(chunks, indexes, tables: CdfTables) -> np.ndarray:
 
   Two levels of parallelism: stripes are split across OS threads (ctypes
   releases the GIL), and each thread decodes its stripes in one
-  rans_decode_multi call, whose 4-way interleaved inner loop overlaps the
+  rans_decode_multi call, whose 8-way interleaved inner loop overlaps the
   serial per-stream dependency chains on a single core (ILP). On a 1-core
   host the thread level degenerates gracefully and the ILP level still
   applies.
