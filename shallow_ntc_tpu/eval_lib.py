@@ -61,12 +61,16 @@ def load_latest_ckpt(
     model_family: Optional[str] = None,
     update_model_config: Optional[Mapping] = None,
     model_cls: Optional[type] = None,
+    transforms_dtype=None,
 ) -> Tuple[Any, Any, Dict]:
   """Rebuild the model from <workdir>/config.json and restore latest params.
 
   Returns (model, params, config). Mirrors reference eval_lib.py:11-53,
   including the update_model_config override used by itinf (configs/itinf.py).
   `model_cls` overrides the family class (the --models_path path).
+  `transforms_dtype` sets the computation dtype of the model's transforms
+  (analysis/synthesis/hyper pair) only -- the entropy-model math stays f32;
+  itinf uses bfloat16 here for the latency-bound SGA scan.
   """
   config = runname_utils.load_json(os.path.join(workdir, "config.json"))
   model_config = models_base.to_plain_dict(config["model_config"])
@@ -82,10 +86,14 @@ def load_latest_ckpt(
     cfg = dict(model_config)
     cfg.pop("optimizer_config", None)
     cfg["offset_heuristic"] = models_base.effective_offset_heuristic(cfg)
+    # --models_path classes may not take a dtype; only pass it when set.
+    if transforms_dtype is not None:
+      cfg["dtype"] = transforms_dtype
     model = model_cls(**cfg)
   else:
     family = model_family or infer_model_family(workdir, config)
-    model, _ = train_lib.build_model_from_config(model_config, family)
+    model, _ = train_lib.build_model_from_config(
+        model_config, family, dtype=transforms_dtype)
 
   # Abstract restore target: no device compute / XLA compile needed to load.
   state = train_lib.create_abstract_state(model, saved_optimizer_config, (64, 64, 3))
@@ -132,9 +140,11 @@ def load_latest_ckpt_from_experiment(
     wid,
     model_family: Optional[str] = None,
     update_model_config: Optional[Mapping] = None,
+    transforms_dtype=None,
 ):
   workdir = find_workdir_by_wid(experiment_dir, wid)
-  return load_latest_ckpt(workdir, model_family, update_model_config)
+  return load_latest_ckpt(workdir, model_family, update_model_config,
+                          transforms_dtype=transforms_dtype)
 
 
 def evaluate_images(

@@ -39,6 +39,13 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
     latents = model.apply(
         {"params": params}, batch, method=model_cls.infer_latent_rvs
     )
+    # The optimized variables (and hence Adam state) stay f32 even when the
+    # model's transforms compute in bfloat16 (configs/itinf.py
+    # transforms_dtype): reduced precision is a computation dtype for the
+    # frozen convs, not a storage dtype for the latents being optimized.
+    latents = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if jnp.issubdtype(a.dtype, jnp.floating)
+        else a, latents)
     return latents, tx.init(latents)
 
   def frozen_offset_fn(params):
@@ -133,7 +140,10 @@ def itinf_on_data_batch(
       model, optimizer_config, num_steps
   )
   init_jit = jax.jit(init_fn)
-  scan_jit = jax.jit(scan_fn, static_argnames=("n_steps",))
+  # The carried latents/opt_state are dead after each segment call: donate
+  # them so XLA updates in place instead of copying per segment.
+  scan_jit = jax.jit(scan_fn, static_argnames=("n_steps",),
+                     donate_argnames=("latents", "opt_state"))
   eval_jit = jax.jit(eval_fn)
 
   rng = jax.random.PRNGKey(seed)
@@ -202,9 +212,18 @@ def itinf_eval(
 
   warm_dir = te_cfg.get("warm_start_exp_dir")
   warm_wid = te_cfg.get("warm_start_wid", 0)
+  # SGA-scan computation dtype for the (frozen) transforms; the entropy-model
+  # math and the optimized latents stay f32. bfloat16 measurably speeds the
+  # latency-bound step on TPU (PERF_NOTES.md "SGA itinf") -- the latent
+  # gradients it produces feed a stochastic relaxation, not the weights.
+  tdtype = te_cfg.get("transforms_dtype")
+  if isinstance(tdtype, str):
+    tdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+              "none": None}[tdtype]
   model, params, train_config = eval_lib.load_latest_ckpt_from_experiment(
       warm_dir, warm_wid, model_family=model_family,
       update_model_config=cfg.get("model_config"),
+      transforms_dtype=tdtype,
   )
   optimizer_config = dict(cfg.get("model_config", {}).get("optimizer_config", {}))
 

@@ -25,6 +25,9 @@ def get_config():
       eval_every_steps=200,
       warm_start_exp_dir="project_dir/train_xms/my_xid",
       warm_start_wid=0,
+      # Computation dtype for the frozen transforms inside the SGA scan
+      # ("bfloat16" / "float32" / "none"); entropy math stays f32 either way.
+      transforms_dtype="float32",
   )
 
   config.model_config = dict(

@@ -143,3 +143,33 @@ def test_itinf_improves_rd_loss(trained_workdir, tmp_path):
   assert "uq_0_loc" in itinf_vars and "uq_1_loc" in itinf_vars
   assert val_m["rd_loss"] <= amortized * 1.02  # should improve (or at least not regress)
   assert np.isfinite(train_m["rd_loss"])
+
+
+def test_itinf_bf16_transforms(trained_workdir, tmp_path):
+  """SGA with bfloat16 transform computation (configs/itinf.py
+  transforms_dtype) must still optimize: the latent gradients flow through
+  bf16 convs while the entropy math and Adam state stay f32."""
+  import jax.numpy as jnp
+
+  workdir, _ = trained_workdir
+  model, params, config = eval_lib.load_latest_ckpt(
+      workdir, "mshyper",
+      update_model_config=dict(
+          latent_config=dict(uq=dict(method="sga", tau_r=2e-2, tau_ub=0.5, tau_t0=20)),
+          offset_heuristic=False,
+      ),
+      transforms_dtype=jnp.bfloat16,
+  )
+  batch = np.asarray(next(iter(data_lib.SyntheticDataset(1, 64, num_batches=1))))
+  amortized = list(eval_lib.evaluate_images(model, params, batch))[0]["rd_loss"]
+  train_m, val_m, itinf_vars = itinf_lib.itinf_on_data_batch(
+      model, params, batch,
+      train_eval_config=dict(num_steps=60, log_metrics_every_steps=20,
+                             eval_every_steps=30),
+      optimizer_config=dict(learning_rate=5e-3, warmup_until=0.0),
+      workdir=str(tmp_path / "itinf_bf16"),
+  )
+  # Latents must stay f32 (Adam runs on the optimized variables).
+  assert itinf_vars["uq_1_loc"].dtype == np.float32
+  assert val_m["rd_loss"] <= amortized * 1.05
+  assert np.isfinite(train_m["rd_loss"])

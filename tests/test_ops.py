@@ -78,6 +78,16 @@ class TestRounding:
     v = float(rounding.sga_schedule_at_step(1200, r=1e-3, ub=0.5, t0=200))
     np.testing.assert_allclose(v, 0.5 * np.exp(-1.0), rtol=1e-5)
 
+  def test_sga_schedule_linear(self):
+    # Linear cooling variant (reference latent_rvs_utils.py:72-79): warm at
+    # ub through t0, then ub - r*(t-t0), floored at lb.
+    kw = dict(r=1e-3, ub=0.5, lb=1e-8, t0=200, scheme="linear")
+    assert float(rounding.sga_schedule_at_step(0, **kw)) == 0.5
+    np.testing.assert_allclose(
+        float(rounding.sga_schedule_at_step(500, **kw)), 0.2, rtol=1e-5)
+    # Far past the zero crossing the lb clip holds.
+    assert float(rounding.sga_schedule_at_step(10**6, **kw)) == np.float32(1e-8)
+
 
 class TestNoisyNormal:
   def test_matches_numerical_integration(self):
