@@ -248,3 +248,60 @@ class TestStripedStreams:
     assert len(chunks) == 1 or fixed <= 0.0015 * payload + bindings.STREAM_FIXED_BYTES
     np.testing.assert_array_equal(
         bindings.rans_decode_striped(chunks, idx, tables), syms)
+
+
+class TestDecodeLut:
+  """The 12-bit bucket LUT decode path (rans.cc find_symbol_lut) against
+  adversarial CDF geometry: slot edges exactly on bucket boundaries, many
+  symbols per bucket, and probability mass concentrated in one bucket."""
+
+  def test_boundary_aligned_slots(self):
+    # Every slot edge is a multiple of 16 = exactly a LUT bucket boundary
+    # (LUT_BITS=12 over 16-bit codepoints -> bucket width 16).
+    rng = np.random.default_rng(2)
+    t = bindings.CdfTables([_uniform_table(4096)])  # slot width exactly 16
+    sym = rng.integers(0, 4095, 50_000).astype(np.int32)
+    idx = np.zeros_like(sym)
+    out = bindings.rans_decode(bindings.rans_encode(sym, idx, t), idx, t)
+    np.testing.assert_array_equal(out, sym)
+
+  def test_many_symbols_per_bucket(self):
+    # 8192 slots of width 8: two symbols per bucket, forcing the refine loop.
+    rng = np.random.default_rng(3)
+    t = bindings.CdfTables([_uniform_table(8192)])
+    sym = rng.integers(0, 8191, 50_000).astype(np.int32)
+    idx = np.zeros_like(sym)
+    out = bindings.rans_decode(bindings.rans_encode(sym, idx, t), idx, t)
+    np.testing.assert_array_equal(out, sym)
+
+  def test_skewed_mass_single_bucket(self):
+    # One dominant symbol plus a tail of 1-codepoint slots packed into the
+    # first buckets; exercises lut entries pointing far behind the target.
+    f = np.ones(64, np.int64)
+    f[0] = 65536 - 63
+    cdf = np.concatenate([[0], np.cumsum(f)]).astype(np.uint32)
+    t = bindings.CdfTables([cdf])
+    rng = np.random.default_rng(4)
+    sym = np.where(rng.random(100_000) < 0.99, 0,
+                   rng.integers(1, 63, 100_000)).astype(np.int32)
+    idx = np.zeros_like(sym)
+    out = bindings.rans_decode(bindings.rans_encode(sym, idx, t), idx, t)
+    np.testing.assert_array_equal(out, sym)
+
+  def test_lut_matches_reference_search(self):
+    # The LUT is definitionally lut[b] = max{s: cdf[s] <= b<<4}; check it
+    # against a direct numpy searchsorted for random tables.
+    rng = np.random.default_rng(5)
+    for size in (2, 3, 7, 65, 300):
+      f = rng.integers(1, 1000, size).astype(np.int64)
+      f = np.maximum((f * 65536 / f.sum()).astype(np.int64), 1)
+      f[-1] += 65536 - f.sum()
+      if f[-1] <= 0:  # renormalize pathological draw
+        f = np.full(size, 65536 // size, np.int64)
+        f[0] += 65536 - f.sum()
+      cdf = np.concatenate([[0], np.cumsum(f)]).astype(np.uint32)
+      t = bindings.CdfTables([cdf])
+      lut = t.lut
+      bucket_lo = np.arange(1 << t.LUT_BITS, dtype=np.uint32) << 4
+      want = np.searchsorted(cdf, bucket_lo, side="right") - 1
+      np.testing.assert_array_equal(lut, np.minimum(want, size - 1))
