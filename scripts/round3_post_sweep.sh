@@ -12,12 +12,12 @@ LOG=/tmp/post_sweep.log
 mark() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
 
 mark "=== bench_suite refresh ==="
-timeout 3600 python scripts/bench_suite.py >> "$LOG" 2>&1 || mark "FAILED bench_suite (rc=$?)"
+timeout -k 60 3600 python scripts/bench_suite.py >> "$LOG" 2>&1 || mark "FAILED bench_suite (rc=$?)"
 
 WD=train_xms_rd/201b91d1/mshyper-lmbda=0.01-num_steps=30000
 for dt in float32 bfloat16; do
   mark "=== itinf dtype A/B: $dt ==="
-  SLURM_JOB_ID=dtype_$dt timeout 2400 python -m shallow_ntc_tpu.mshyper.itinf \
+  SLURM_JOB_ID=dtype_$dt timeout -k 60 2400 python -m shallow_ntc_tpu.mshyper.itinf \
     --config shallow_ntc_tpu/mshyper/configs/itinf.py \
     --config.train_eval_config.warm_start_exp_dir="$REPO/$WD" \
     --config.train_eval_config.transforms_dtype="$dt" \
@@ -28,6 +28,6 @@ for dt in float32 bfloat16; do
 done
 
 mark "=== itinf step attribution ==="
-timeout 2400 python scripts/itinf_profile.py >> "$LOG" 2>&1 || mark "FAILED itinf_profile (rc=$?)"
+timeout -k 60 2400 python scripts/itinf_profile.py >> "$LOG" 2>&1 || mark "FAILED itinf_profile (rc=$?)"
 
 mark "POST_SWEEP DONE"

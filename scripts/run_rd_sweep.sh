@@ -20,7 +20,7 @@ mark() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
 mark "=== mshyper 7-lambda sweep (xid 201b91d1) ==="
 for hid in 0 1 2 3 4 5 6; do
   mark "mshyper hid=$hid"
-  SLURM_JOB_ID=201b91d1 timeout 5400 python -m shallow_ntc_tpu.mshyper.train \
+  SLURM_JOB_ID=201b91d1 timeout -k 60 5400 python -m shallow_ntc_tpu.mshyper.train \
     --config shallow_ntc_tpu/mshyper/configs/two_layer_syn_rd.py \
     --experiments_dir ./train_xms_rd --matmul_precision default --hid $hid \
     >> "$LOG" 2>&1 || mark "FAILED mshyper hid=$hid (rc=$?)"
@@ -29,14 +29,14 @@ done
 mark "=== factorized 7-lambda sweep (xid 201b91d1) ==="
 for hid in 0 1 2 3 4 5 6; do
   mark "factorized hid=$hid"
-  SLURM_JOB_ID=201b91d1 timeout 3600 python -m shallow_ntc_tpu.factorized.train \
+  SLURM_JOB_ID=201b91d1 timeout -k 60 3600 python -m shallow_ntc_tpu.factorized.train \
     --config shallow_ntc_tpu/factorized/configs/bls2017_rd.py \
     --experiments_dir ./train_xms_rd --matmul_precision default --hid $hid \
     >> "$LOG" 2>&1 || mark "FAILED factorized hid=$hid (rc=$?)"
 done
 
 mark "=== precision study: lmbda=0.01 at matmul_precision=highest ==="
-SLURM_JOB_ID=prec01 timeout 7200 python -m shallow_ntc_tpu.mshyper.train \
+SLURM_JOB_ID=prec01 timeout -k 60 7200 python -m shallow_ntc_tpu.mshyper.train \
   --config shallow_ntc_tpu/mshyper/configs/two_layer_syn_rd.py \
   --experiments_dir ./train_xms_prec --matmul_precision highest --hid 3 \
   >> "$LOG" 2>&1 || mark "FAILED precision run (rc=$?)"
@@ -50,7 +50,7 @@ for wd in train_xms_rd/201b91d1/mshyper-* train_xms_rd/201b91d1/factorized-* \
     *) out=json_results/deadleaves24/end_to_end ;;
   esac
   mark "eval $wd -> $out"
-  timeout 1800 python eval.py --workdir "$wd" --dataset deadleaves_eval \
+  timeout -k 60 1800 python eval.py --workdir "$wd" --dataset deadleaves_eval \
     --results_dir "$out" --matmul_precision highest \
     >> "$LOG" 2>&1 || mark "FAILED eval $wd (rc=$?)"
 done
@@ -64,7 +64,7 @@ for wd in train_xms_rd/201b91d1/mshyper-*; do
     mark "skip itinf lmbda=$lam (metrics.json exists)"; continue
   fi
   mark "itinf lmbda=$lam"
-  SLURM_JOB_ID=$xid timeout 3600 python -m shallow_ntc_tpu.mshyper.itinf \
+  SLURM_JOB_ID=$xid timeout -k 60 3600 python -m shallow_ntc_tpu.mshyper.itinf \
     --config shallow_ntc_tpu/mshyper/configs/itinf.py \
     --config.train_eval_config.warm_start_exp_dir="$REPO/$wd" \
     --config.data_config.dataset=deadleaves_eval \
