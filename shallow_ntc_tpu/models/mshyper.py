@@ -89,7 +89,15 @@ class Model(nn.Module):
   # --- decode-side helpers (exposed for the codec and the bench) ----------
   def hyper_synthesize(self, z_hat: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """z_hat -> (mu, scale_indexes); sigma made positive via exp (ref :274-276)."""
-    out = self._hyper_synthesis(z_hat)
+    from shallow_ntc_tpu.ops import int8ops
+
+    if int8ops.hyper_exempt():
+      # int8 'syn' mode: mu/sigma feed the entropy model, so the hyper
+      # decoder stays float to keep the RATE bit-identical to the f32 path.
+      with int8ops.force(False):
+        out = self._hyper_synthesis(z_hat)
+    else:
+      out = self._hyper_synthesis(z_hat)
     mu, raw = jnp.split(out, 2, axis=-1)
     return mu, jnp.exp(raw)
 

@@ -27,6 +27,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from shallow_ntc_tpu.ops import int8ops
+
+
+def _s1_conv(x, w, pad, dn, precision):
+  """The stride-1 dense conv all phase-space lowerings funnel through.
+
+  Routed to the int8 MXU path (ops/int8ops.py) when int8 decode is enabled;
+  int8 is inference-only (zero quantizer gradient), so training and SGA
+  itinf keep the float path."""
+  if int8ops.enabled():
+    return int8ops.conv_s1_int8(x, w, pad, dn, x.dtype)
+  return jax.lax.conv_general_dilated(
+      x, w, (1, 1), pad, dimension_numbers=dn, precision=precision
+  )
+
 
 @functools.lru_cache(maxsize=None)
 def _phase_geometry(k: int, s: int) -> Tuple[int, int, np.ndarray, np.ndarray]:
@@ -146,9 +161,7 @@ def grouped_phase_pieces(
       dn_g = jax.lax.conv_dimension_numbers(
           z.shape, wg.shape, ("NHWC", "HWIO", "NHWC")
       )
-      out = jax.lax.conv_general_dilated(
-          z, wg, (1, 1), pad, dimension_numbers=dn_g, precision=precision
-      )
+      out = _s1_conv(z, wg, pad, dn_g, precision)
       if bias is not None:
         out = out + jnp.tile(bias, len(ph) * len(pw)).astype(out.dtype)
       pieces.append(out)
@@ -255,9 +268,7 @@ def phase_conv(
   dn = jax.lax.conv_dimension_numbers(
       z.shape, w_phase.shape, ("NHWC", "HWIO", "NHWC")
   )
-  out = jax.lax.conv_general_dilated(
-      z, w_phase, (1, 1), pad, dimension_numbers=dn, precision=precision
-  )
+  out = _s1_conv(z, w_phase, pad, dn, precision)
   if bias is not None:
     out = out + jnp.tile(bias, s * s).astype(out.dtype)
   return out
@@ -498,9 +509,8 @@ def fast_conv_transpose(
   dn = jax.lax.conv_dimension_numbers(
       z.shape, w_phase.shape, ("NHWC", "HWIO", "NHWC")
   )
-  out_small = jax.lax.conv_general_dilated(
-      z, w_phase, (1, 1), [(pad_lo, pad_hi), (pad_lo, pad_hi)],
-      dimension_numbers=dn, precision=precision,
+  out_small = _s1_conv(
+      z, w_phase, [(pad_lo, pad_hi), (pad_lo, pad_hi)], dn, precision
   )
   out = depth_to_space(out_small, s)
   return out if bias is None else out + bias.astype(out.dtype)
