@@ -109,6 +109,24 @@ def main():
   t = loop_marginal_time(decode, y_hat)
   results["decode_Mpx_per_s"] = round(B * h * w / t / 1e6, 1)
 
+  # int8 decode variants (ops/int8ops.py). Quality cost is measured per
+  # checkpoint in results/int8_quality.json (syn: rate bit-identical,
+  # PSNR -0.08 dB); this records the speed side of that trade.
+  for int8_mode in ("syn", "all"):
+    os.environ["SNTC_INT8_DECODE"] = int8_mode
+
+    def decode_int8(y):
+      mu, idx = model_bf16.apply(
+          {"params": params}, z_hat + jnp.sum(y, dtype=jnp.bfloat16) * 1e-20,
+          method=cls.hyper_synthesize,
+      )
+      rec = model_bf16.apply({"params": params}, y, method=cls.synthesize)
+      return rec, mu, idx
+
+    t = loop_marginal_time(decode_int8, y_hat)
+    results[f"decode_int8_{int8_mode}_Mpx_per_s"] = round(B * h * w / t / 1e6, 1)
+  os.environ.pop("SNTC_INT8_DECODE", None)
+
   x_img = jnp.asarray(rng.uniform(-0.5, 0.5, (B, h, w, 3)), jnp.bfloat16)
 
   def encode(x):
