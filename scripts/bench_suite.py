@@ -136,6 +136,16 @@ def main():
   t = loop_marginal_time(encode, x_img, n_lo=4, n_hi=16)
   results["encode_Mpx_per_s"] = round(B * h * w / t / 1e6, 1)
 
+  os.environ["SNTC_INT8_ENCODE"] = "1"
+
+  def encode_int8(x):
+    latents = model_bf16.apply({"params": params}, x, method=cls.infer_latent_rvs)
+    return latents.uq[0].loc, latents.uq[1].loc
+
+  t = loop_marginal_time(encode_int8, x_img, n_lo=4, n_hi=16)
+  results["encode_int8_Mpx_per_s"] = round(B * h * w / t / 1e6, 1)
+  os.environ.pop("SNTC_INT8_ENCODE", None)
+
   # --- training step rate (f32 params, default precision) ----------------
   model = mshyper_models.Model(**flagship)
   state, tx, lr_fn = train_lib.create_train_state(

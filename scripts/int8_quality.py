@@ -48,13 +48,20 @@ def main():
   if args.max_images:
     images = images[: args.max_images]
 
-  def run(mode_str):
-    os.environ["SNTC_INT8_DECODE"] = mode_str
+  def run(decode_mode, encode_on=False):
+    os.environ["SNTC_INT8_DECODE"] = decode_mode
+    os.environ["SNTC_INT8_ENCODE"] = "1" if encode_on else ""
     # Fresh generator => fresh jit closure per mode (the int8 gate is read
     # at trace time; reusing one jitted fn across modes would be stale).
     return [m for m in eval_lib.evaluate_images(model, params, list(images))]
 
-  arms = {"f32": run(""), "syn": run("syn"), "all": run("all")}
+  arms = {
+      "f32": run(""),
+      "syn": run("syn"),
+      "all": run("all"),
+      "enc": run("", encode_on=True),
+      "enc_syn": run("syn", encode_on=True),
+  }
   del int8ops  # gate handled via env above
 
   keys = ("psnr", "bpp", "msssim", "rd_loss")
@@ -69,7 +76,9 @@ def main():
   for k in keys:
     fa = mean([r[f"f32_{k}"] for r in per_image])
     summary[k] = {"f32": fa}
-    for arm in ("syn", "all"):
+    for arm in arms:
+      if arm == "f32":
+        continue
       v = mean([r[f"{arm}_{k}"] for r in per_image])
       summary[k][arm] = v
       summary[k][f"{arm}_delta"] = v - fa

@@ -221,6 +221,17 @@ class Conv(nn.Module):
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
     )
+    if s == 1 and x.shape[-1] >= 32:
+      from shallow_ntc_tpu.ops import int8ops
+
+      if int8ops.encode_enabled():
+        # Int8 analysis-side path (SNTC_INT8_ENCODE): the ELIC RB chains are
+        # HBM-bound at bf16 (~73% HBM BW, PERF_NOTES), so int8 activations
+        # halve the bytes and double the MXU rate. Measured 1.29x on the
+        # stage-1 RB chain. Inference-only; wide stride-1 convs only (the
+        # strided stem convs stay float).
+        out = int8ops.conv_s1_int8(x, kernel, "SAME", dn, x.dtype)
+        return out if bias is None else out + bias.astype(out.dtype)
     out = jax.lax.conv_general_dilated(
         x, kernel, (s, s), "SAME", dimension_numbers=dn
     )

@@ -59,6 +59,18 @@ def enabled() -> bool:
   return mode() in ("all", "syn")
 
 
+def encode_enabled() -> bool:
+  """Separate gate for the analysis (encode) side: SNTC_INT8_ENCODE=1.
+
+  Quantizes the wide stride-1 convs of the analysis stack (ELIC residual
+  blocks + attention 1x1s). Unlike the decode gate this perturbs the
+  *latents*, so rate AND distortion both move -- the shift acts like extra
+  sub-bin noise on latents that get integer-quantized anyway (measured
+  deltas in results/int8_quality.json). Inference-only. Env-controlled only
+  (the force() override is the *decode* gate's)."""
+  return os.environ.get("SNTC_INT8_ENCODE") == "1"
+
+
 @contextlib.contextmanager
 def force(value: Optional[bool]):
   """Override the env gate inside a `with` block (None restores env control).

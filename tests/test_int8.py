@@ -128,6 +128,25 @@ def test_syn_mode_keeps_hyper_decoder_and_rate_float(monkeypatch):
                   rec_f32.astype(np.float64)) < 0.05
 
 
+def test_int8_encode_routes_elic_analysis(monkeypatch):
+  """SNTC_INT8_ENCODE quantizes the wide stride-1 analysis convs: latents
+  move slightly but stay close; the gate off is bit-identical."""
+  from shallow_ntc_tpu.models import elic
+
+  ana = elic.ElicAnalysis(channels=(32, 32, 32, 48))
+  x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 96, 3), jnp.float32)
+  params = ana.init(jax.random.PRNGKey(1), x)
+  monkeypatch.delenv("SNTC_INT8_ENCODE", raising=False)
+  ref = ana.apply(params, x)
+  monkeypatch.setenv("SNTC_INT8_ENCODE", "1")
+  got = ana.apply(params, x)
+  monkeypatch.delenv("SNTC_INT8_ENCODE", raising=False)
+  off = ana.apply(params, x)
+  np.testing.assert_array_equal(np.asarray(off), np.asarray(ref))
+  err = _rel_err(got, ref)
+  assert 1e-7 < err < 0.05, err
+
+
 def test_int8_env_gate_default_off(monkeypatch):
   monkeypatch.delenv("SNTC_INT8_DECODE", raising=False)
   assert not int8ops.enabled()
