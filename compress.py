@@ -19,6 +19,12 @@ flags.DEFINE_string("workdir", None, "Trained workdir (from train_lib).")
 flags.DEFINE_string("input", None, "Input file (image or .sntc bitstream).")
 flags.DEFINE_string("output", None, "Output file.")
 flags.DEFINE_string("model_family", None, "mshyper|factorized (default: inferred).")
+flags.DEFINE_enum(
+    "decode_dtype", "float", ["float", "int8_syn"],
+    "Synthesis precision for decompress (ops/int8ops.py). int8_syn keeps "
+    "the entropy path float, so bitstreams stay interoperable with float "
+    "encoders/decoders; only the reconstruction shifts by ~-0.08 dB.",
+)
 
 
 def _load_codec():
@@ -27,6 +33,11 @@ def _load_codec():
   from shallow_ntc_tpu.utils.jax_setup import setup_jax
 
   setup_jax()
+  if FLAGS.decode_dtype == "int8_syn":
+    # 'syn' keeps mu/sigma (the coded distribution) float: the rANS decode
+    # consumes identical CDFs, so int8_syn and float decoders accept each
+    # other's bitstreams bit-for-bit.
+    os.environ["SNTC_INT8_DECODE"] = "syn"
   model, params, _ = eval_lib.load_latest_ckpt(FLAGS.workdir, FLAGS.model_family)
   return codec_api.make_codec(model, params)
 
