@@ -1,0 +1,62 @@
+"""Config: SGA iterative-inference encoding on a trained checkpoint.
+
+Schema-compatible with /root/reference/mshyper/configs/itinf.py: point
+warm_start_exp_dir at a training experiment dir; the sweep runs one SGA
+encoding job per warm_start_wid to trace out an R-D curve.
+"""
+
+import ml_collections
+
+NUM_WIDS = 7
+
+
+def get_config():
+  config = ml_collections.ConfigDict()
+  config.model_family = "mshyper"
+
+  config.data_config = dict(
+      dataset="kodak_landscape",
+      batchsize=1,  # >1 speeds SGA but requires equal image shapes
+      patchsize=None,
+  )
+  config.train_eval_config = dict(
+      num_steps=3000,
+      log_metrics_every_steps=100,
+      eval_every_steps=200,
+      warm_start_exp_dir="project_dir/train_xms/my_xid",
+      warm_start_wid=0,
+      # Computation dtype for the frozen transforms inside the SGA scan
+      # ("bfloat16" / "float32" / "none"); entropy math stays f32 either way.
+      transforms_dtype="float32",
+  )
+
+  config.model_config = dict(
+      # Unspecified settings are loaded from the checkpoint's config.json.
+      scheduled_num_steps=config.train_eval_config["num_steps"],
+      optimizer_config=dict(
+          learning_rate=5e-3, reduce_lr_after=0.9, reduce_lr_factor=0.1,
+          global_clipnorm=None, warmup_until=0.0,
+      ),
+      latent_config=dict(
+          uq=dict(method="sga", tau_r=5e-4, tau_ub=0.5, tau_t0=200),
+      ),
+      offset_heuristic=False,  # set False if training used mixedq
+  )
+  return config
+
+
+def get_cfg_str(config):
+  from collections import OrderedDict
+
+  from shallow_ntc_tpu.utils import runname
+
+  d = OrderedDict()
+  d["wwid"] = config.train_eval_config["warm_start_wid"]
+  d["uq_method"] = config.model_config["latent_config"]["uq"]["method"]
+  return runname.config_dict_to_str(d, skip_falsy=False)
+
+
+def get_hyper():
+  from shallow_ntc_tpu.utils import hyper
+
+  return hyper.sweep("train_eval_config.warm_start_wid", list(range(NUM_WIDS)))
