@@ -50,6 +50,24 @@ def main():
   if not files:
     raise SystemExit(f"No result files match {args.results_glob!r}")
 
+  # A workdir evaluated at several checkpoints produces one file per step
+  # (eval_lib names them <runname>-step=<n>-...); only the LATEST step of
+  # each run belongs in the table -- otherwise stale mid-training evals
+  # get silently averaged into the front.
+  def step_of(fname):
+    m = re.search(r"-step=(\d+)", os.path.basename(fname))
+    return int(m.group(1)) if m else 0
+
+  latest = {}
+  for f in files:
+    key = re.sub(r"-step=\d+", "", os.path.basename(f))
+    if key not in latest or step_of(f) > step_of(latest[key]):
+      latest[key] = f
+  dropped = sorted(set(files) - set(latest.values()))
+  for f in dropped:
+    print(f"dropping stale-step eval {os.path.basename(f)}")
+  files = sorted(latest.values())
+
   detailed = collections.defaultdict(list)
   for f in files:
     with open(f) as fh:
