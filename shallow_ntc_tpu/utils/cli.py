@@ -31,8 +31,12 @@ def define_common_flags(default_experiments_dir: str):
       "Number of devices for data-parallel training (default: all).",
   )
   flags.DEFINE_string(
-      "matmul_precision", "highest",
-      "jax default_matmul_precision for training (highest = full f32).",
+      "matmul_precision", "default",
+      "jax default_matmul_precision for training. 'default' (bf16 passes, "
+      "f32 accumulation) is ~3x faster on TPU than 'highest' (full f32) and "
+      "costs a measured 0.026 dB / 0.3% rd_loss on a same-seed 10k-step "
+      "pair (results/precision_study, PERF_NOTES.md) -- well inside the "
+      "0.05 dB parity tolerance. Use 'highest' for exact-parity work.",
   )
   # Multi-host (pod slice / multi-process) bring-up: SURVEY section 2.8's
   # jax.distributed disposition. On TPU pod slices only --coordinator is
