@@ -67,7 +67,8 @@ def main():
   setup_jax(matmul_precision=None)
   results = {
       "device": jax.devices()[0].device_kind,
-      "matmul_precision": "default (bf16 passes); train CLI parity default is highest",
+      "matmul_precision": "default (bf16 passes; also the train CLI default"
+                          " -- see PERF_NOTES.md precision study)",
   }
   rng = np.random.default_rng(0)
   iters = 8 if args.fast else 16
