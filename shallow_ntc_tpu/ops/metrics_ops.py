@@ -108,13 +108,20 @@ def _filter2d_valid(x: jax.Array, kernel1d: jax.Array) -> jax.Array:
   dn = jax.lax.conv_dimension_numbers(x.shape, (1, k, 1, c), ("NHWC", "HWIO", "NHWC"))
   k_row = jnp.tile(kernel1d.reshape(1, k, 1, 1), (1, 1, 1, c))  # filter along W
   k_col = jnp.tile(kernel1d.reshape(k, 1, 1, 1), (1, 1, 1, c))  # filter along H
+  # Always filter in full f32: under jax_default_matmul_precision=default
+  # (bf16 passes) the moment convs lose ~3 decimal digits, and the
+  # E[x^2] - E[x]^2 cancellation then yields cs terms > 1 or < 0 --
+  # observed as MS-SSIM trajectories above 1.0 (and relu-collapsed images)
+  # in SGA itinf runs. Metric cost is negligible; correctness is not.
   x = jax.lax.conv_general_dilated(
       x, k_row, window_strides=(1, 1), padding="VALID",
       dimension_numbers=dn, feature_group_count=c,
+      precision=jax.lax.Precision.HIGHEST,
   )
   x = jax.lax.conv_general_dilated(
       x, k_col, window_strides=(1, 1), padding="VALID",
       dimension_numbers=dn, feature_group_count=c,
+      precision=jax.lax.Precision.HIGHEST,
   )
   return x
 

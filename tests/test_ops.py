@@ -278,6 +278,31 @@ class TestImageOps:
     assert v_same > 0.9999
     assert 0.5 < v_noisy < v_same
 
+  def test_msssim_filters_pin_highest_precision(self):
+    """The SSIM moment convs must request HIGHEST precision explicitly.
+
+    Under jax_default_matmul_precision=default (bf16 passes on TPU -- the
+    itinf CLI's setting) the E[x^2]-E[x]^2 cancellation otherwise produces
+    cs terms > 1 / < 0: observed as MS-SSIM trajectories above 1.0 and
+    relu-collapsed per-image values in SGA runs (batch mean 0.8733 at
+    35.4 dB PSNR). Guard by jaxpr inspection, since CPU tests cannot
+    reproduce the TPU bf16 conv lowering."""
+    from shallow_ntc_tpu.ops import metrics_ops
+
+    x = jnp.zeros((1, 200, 200, 3))
+    jaxpr = jax.make_jaxpr(metrics_ops.msssim)(x, x)
+    convs = [
+        eqn for eqn in jaxpr.jaxpr.eqns
+        if eqn.primitive.name == "conv_general_dilated"
+    ]
+    assert convs, "expected conv eqns in msssim"
+    for eqn in convs:
+      prec = eqn.params.get("precision")
+      assert prec is not None and all(
+          p == jax.lax.Precision.HIGHEST
+          for p in (prec if isinstance(prec, tuple) else (prec,))
+      ), f"conv without pinned HIGHEST precision: {eqn.params}"
+
   def test_visualize_grid(self):
     from shallow_ntc_tpu.ops import metrics_ops
 
