@@ -107,3 +107,42 @@ class TestWriters:
     rec = os.path.join(tmp_path, "train", "record.jsonl")
     assert os.path.exists(rec)
     assert json.loads(open(rec).readline())["bpp"] == 0.5
+
+
+class TestAggregateResults:
+  """scripts/aggregate_results.py: an e2e invocation over synthetic files."""
+
+  def _write(self, path, runname_base, step, lam, bpp, psnr):
+    recs = [{"rd_lambda": lam, "bpp": bpp, "psnr": psnr, "mse": 1.0,
+             "msssim": 0.99, "rd_loss": bpp + lam * 1.0, "instance_id": i}
+            for i in range(2)]
+    fname = f"{runname_base}-step={step}-xid=t.json"
+    with open(os.path.join(path, fname), "w") as f:
+      json.dump(recs, f)
+
+  def test_latest_step_wins_and_schema(self, tmp_path):
+    import subprocess
+    import sys as _sys
+
+    d = tmp_path / "end_to_end"
+    d.mkdir()
+    # Two evals of the same run at different checkpoints: only step=200
+    # may enter the aggregate (stale-step dedup), plus a second lambda.
+    self._write(str(d), "fam-lmbda=0.01-num_steps=200", 100, 0.01, 9.9, 1.0)
+    self._write(str(d), "fam-lmbda=0.01-num_steps=200", 200, 0.01, 0.5, 30.0)
+    self._write(str(d), "fam-lmbda=0.02-num_steps=200", 200, 0.02, 0.8, 32.0)
+    out = tmp_path / "agg"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "aggregate_results.py"),
+         "--results_glob", str(d / "*.json"), "--out", str(out)],
+        capture_output=True, text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr
+    assert "dropping stale-step eval" in r.stdout
+    agg = json.load(open(out / "aggregate.json"))
+    (method,) = agg.keys()
+    assert agg[method]["rd_lambda"] == [0.01, 0.02]
+    # step=100's bpp=9.9 must not contaminate the lambda=0.01 mean.
+    assert agg[method]["bpp"] == [0.5, 0.8]
+    assert agg[method]["num_images"] == [2, 2]
