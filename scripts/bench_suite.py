@@ -185,10 +185,10 @@ def main():
   )
   img = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 512, 768, 3)), jnp.float32)
   latents, opt_state = jax.jit(init_fn)(params_f32 := state.params, img)
-  scan_jit = jax.jit(scan_fn, static_argnames=("n_steps",))
+  scan_jit = jax.jit(scan_fn, static_argnames=("n_steps", "log_every"))
   def run_itinf(n_steps, key):
     out = scan_jit(params_f32, img, latents, opt_state, 0, n_steps=n_steps,
-                   rng=jax.random.PRNGKey(key))
+                   rng=jax.random.PRNGKey(key), log_every=300)
     # Fetch a latent value to force completion (see PERF_NOTES.md).
     return float(out[0].uq[0].loc.reshape(-1)[0])
 

@@ -74,7 +74,7 @@ def main():
   init_fn, scan_fn, eval_fn = itinf_lib.make_itinf_functions(
       model, opt_cfg, args.steps)
   init_jit = jax.jit(init_fn)
-  scan_jit = jax.jit(scan_fn, static_argnames=("n_steps",))
+  scan_jit = jax.jit(scan_fn, static_argnames=("n_steps", "log_every"))
 
   rng = np.random.default_rng(0)
   batch = jnp.asarray(
@@ -83,9 +83,9 @@ def main():
   latents, opt_state = init_jit(params, batch)
 
   def run(n):
-    lat, opt, seq = scan_jit(params, batch, latents, opt_state, 0,
-                             n_steps=n, rng=key)
-    return float(jnp.sum(seq["rd_loss"][-1]))
+    lat, opt, bufs = scan_jit(params, batch, latents, opt_state, 0,
+                              n_steps=n, rng=key, log_every=300)
+    return float(jnp.sum(bufs["rd_loss"][-1]))
 
   run(64)  # warm both loop lengths
   run(256)

@@ -21,19 +21,23 @@ def get_config():
   )
   config.train_eval_config = dict(
       num_steps=3000,
-      # Segment length = eval_every_steps: each segment pays scan dispatch,
-      # metric fetches, and a val pass over the remote-TPU tunnel. Measured
-      # on the real driver (single Kodak-size image): 200-step segments run
-      # ~45 steps/s wall, 600+ run ~180 (PERF_NOTES.md "SGA itinf step
-      # attribution") -- the step body itself is 1.7 ms. 500-step logging
-      # still gives 6 curve points per 3000-step optimization.
+      # Segment length = eval_every_steps: each segment boundary pays a scan
+      # dispatch, a log-buffer fetch, and a val pass over the remote-TPU
+      # tunnel (~2x25 ms RPC floors + an MS-SSIM eval). Default = num_steps:
+      # the whole optimization is ONE jitted scan whose logged metric rows
+      # accumulate in the carry, fetched once, with a single final val pass
+      # (PERF_NOTES.md "SGA itinf"). Lower it to recover the reference's
+      # mid-run validation cadence. 300-step logging still gives 10 curve
+      # points per 3000-step optimization.
       log_metrics_every_steps=300,
-      eval_every_steps=600,
+      eval_every_steps=3000,
       warm_start_exp_dir="project_dir/train_xms/my_xid",
       warm_start_wid=0,
       # Computation dtype for the frozen transforms inside the SGA scan
-      # ("bfloat16" / "float32" / "none"); entropy math stays f32 either way.
-      transforms_dtype="float32",
+      # ("bfloat16" / "float32" / "none"); entropy math and the optimized
+      # latents stay f32 either way. bf16 is quality-neutral for SGA
+      # (Delta rd_loss <= 2.2e-4, itinf_dtype_ab/) and measurably faster.
+      transforms_dtype="bfloat16",
   )
 
   config.model_config = dict(
