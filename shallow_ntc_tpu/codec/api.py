@@ -112,8 +112,28 @@ def _unpack_tensors(data: bytes, num_tensors: int):
 @dataclass
 class CompressionResult:
   bitstring: bytes
-  reconstruction: np.ndarray  # uint8 [H, W, 3] (encoder-side decode)
+  # uint8 [H, W, 3] encoder-side decode; None in compress_batch(...,
+  # reconstruct=False), which skips the synthesis round-trip.
+  reconstruction: Optional[np.ndarray]
   bpp: float
+
+
+def _equal_shape_chunks(shapes, chunk_size):
+  """Split indexes 0..n-1 into runs of equal (h, w), each <= chunk_size.
+
+  Batch codec stages stack a chunk's tensors into ONE device call, so a
+  chunk must be shape-uniform; mixed-size inputs simply produce shorter
+  chunks (worst case: per-image calls, the unpipelined behavior)."""
+  chunks = []
+  i = 0
+  while i < len(shapes):
+    j = i + 1
+    while (j < len(shapes) and j - i < chunk_size
+           and shapes[j] == shapes[i]):
+      j += 1
+    chunks.append(list(range(i, j)))
+    i = j
+  return chunks
 
 
 class MSHyperCodec:
@@ -148,9 +168,17 @@ class MSHyperCodec:
     def synth(params, y_hat):
       return model.apply({"params": params}, y_hat, method=cls.synthesize)
 
+    def synth_u8(params, y_hat):
+      # Batch path: quantize to the uint8 grid ON DEVICE so the tunnel
+      # ships 1 byte/px instead of a 4-byte float (the D2H transfer is a
+      # first-order cost of end-to-end decode; PERF_NOTES "Codec e2e").
+      rec = synth(params, y_hat)
+      return models_base.floats_to_pixels(rec, training=False).astype(jnp.uint8)
+
     self._analyze = jax.jit(analyze)
     self._hyper_dec = jax.jit(hyper_dec)
     self._synth = jax.jit(synth)
+    self._synth_u8 = jax.jit(synth_u8)
 
     prior = entropy.DeepFactorizedPrior(channels=self._prior_channels())
     prior_params = {"params": params["_prior"]}
@@ -163,15 +191,9 @@ class MSHyperCodec:
     p = self.params["_prior"]["matrix_0"]
     return p.shape[0]
 
-  def compress(self, image: np.ndarray) -> CompressionResult:
-    """image: [H, W, 3] or [1, H, W, 3], normalized floats (x/255 - 0.5)."""
-    x = np.asarray(image, np.float32)
-    if x.ndim == 3:
-      x = x[None]
-    assert x.shape[0] == 1, "codec compresses one image at a time"
-    h, w = x.shape[1], x.shape[2]
-
-    z, z_hat, y, mu, indexes = jax.device_get(self._analyze(self.params, jnp.asarray(x)))
+  def _encode_host(self, z, y, mu, indexes, h, w):
+    """Host rANS side of compress() for ONE (batch-1) image's tensors;
+    returns (blob, y_hat) with y_hat the decoder-exact coding-grid latent."""
     z_syms = self.z_tables.symbols_from_latent(z)
     z_idx = self.z_tables.channel_indexes(z.shape)
     z_chunks = bindings.rans_encode_striped(z_syms, z_idx, self.z_tables.tables)
@@ -183,11 +205,68 @@ class MSHyperCodec:
     # z's spatial extent follows from the padded image size; only H, W travel.
     blob = (_pack_header(VERSION, 1, h, w)
             + _pack_tensor(z_chunks) + _pack_tensor(y_chunks))
-
     y_hat = self.y_tables.latent_from_symbols(y_syms, mu, y_idx)
+    return blob, y_hat
+
+  def compress(self, image: np.ndarray) -> CompressionResult:
+    """image: [H, W, 3] or [1, H, W, 3], normalized floats (x/255 - 0.5)."""
+    x = np.asarray(image, np.float32)
+    if x.ndim == 3:
+      x = x[None]
+    assert x.shape[0] == 1, "codec compresses one image at a time"
+    h, w = x.shape[1], x.shape[2]
+
+    z, z_hat, y, mu, indexes = jax.device_get(self._analyze(self.params, jnp.asarray(x)))
+    blob, y_hat = self._encode_host(z, y, mu, indexes, h, w)
     rec = self._reconstruct(y_hat, (1, h, w, 3))
     bpp = len(blob) * 8.0 / (h * w)
     return CompressionResult(blob, rec, bpp)
+
+  def compress_batch(self, images, reconstruct: bool = False,
+                     chunk_size: int = 8):
+    """Pipelined multi-image compress; returns [CompressionResult].
+
+    Equal-shaped runs of images are stacked into ONE analysis call per
+    chunk (one tunnel round-trip instead of per-image rounds), dispatched
+    asynchronously up front so the device transforms chunk g+1 while the
+    host rANS-encodes chunk g. reconstruct=False (default) skips the
+    encoder-side synthesis entirely -- batch callers that only need
+    bitstreams save a second device pass. Bitstreams are byte-identical
+    to per-image compress().
+    """
+    xs = []
+    for im in images:
+      x = np.asarray(im, np.float32)
+      xs.append(x[None] if x.ndim == 3 else x)
+    chunks = _equal_shape_chunks([x.shape for x in xs], chunk_size)
+
+    futs = []  # async device results, one per chunk
+    for idxs in chunks:
+      xb = jnp.asarray(np.concatenate([xs[i] for i in idxs], 0))
+      futs.append(self._analyze(self.params, xb))
+
+    results = [None] * len(xs)
+    rec_futs = []
+    for idxs, fut in zip(chunks, futs):
+      z, _, y, mu, indexes = jax.device_get(fut)
+      y_hats = []
+      for row, i in enumerate(idxs):
+        h, w = xs[i].shape[1], xs[i].shape[2]
+        blob, y_hat = self._encode_host(
+            z[row : row + 1], y[row : row + 1], mu[row : row + 1],
+            indexes[row : row + 1], h, w)
+        results[i] = CompressionResult(blob, None, len(blob) * 8.0 / (h * w))
+        y_hats.append(y_hat)
+      if reconstruct:
+        yb = jnp.asarray(np.concatenate(y_hats, 0), jnp.float32)
+        rec_futs.append(self._synth_u8(self.params, yb))
+    if reconstruct:
+      for idxs, fut in zip(chunks, rec_futs):
+        rec = np.asarray(jax.device_get(fut))
+        for row, i in enumerate(idxs):
+          h, w = xs[i].shape[1], xs[i].shape[2]
+          results[i].reconstruction = rec[row, :h, :w]
+    return results
 
   def _latent_shapes(self, h, w):
     d = self.model.downsample_factor
@@ -209,22 +288,68 @@ class MSHyperCodec:
 
   def decompress(self, blob: bytes) -> np.ndarray:
     """Returns the uint8 [H, W, 3] reconstruction."""
-    version, family_id, h, w, rest = _unpack_header(blob)
-    assert version == VERSION and family_id == 1
-    z_chunks, y_chunks = _unpack_tensors(rest, 2)
-
-    z_shape, (b, yh, yw, _) = self._latent_shapes(h, w)
-    z_idx = self.z_tables.channel_indexes(z_shape)
-    z_syms = bindings.rans_decode_striped(z_chunks, z_idx, self.z_tables.tables)
-    z_hat = self.z_tables.latent_from_symbols(z_syms)
-
+    h, w, z_hat, y_chunks = self._decode_z_host(blob)
     mu, indexes = jax.device_get(
         self._hyper_dec(self.params, jnp.asarray(z_hat, jnp.float32))
     )
+    y_hat = self._decode_y_host(y_chunks, mu, indexes)
+    return self._reconstruct(y_hat, (1, h, w, 3))
+
+  def _decode_z_host(self, blob):
+    """Host half of stage 1: header + z rANS decode -> (h, w, z_hat, y_chunks)."""
+    version, family_id, h, w, rest = _unpack_header(blob)
+    assert version == VERSION and family_id == 1
+    z_chunks, y_chunks = _unpack_tensors(rest, 2)
+    z_shape, _ = self._latent_shapes(h, w)
+    z_idx = self.z_tables.channel_indexes(z_shape)
+    z_syms = bindings.rans_decode_striped(z_chunks, z_idx, self.z_tables.tables)
+    return h, w, self.z_tables.latent_from_symbols(z_syms), y_chunks
+
+  def _decode_y_host(self, y_chunks, mu, indexes):
+    """Host half of stage 2: y rANS decode under (mu, sigma-index) -> y_hat."""
     y_idx = self.y_tables.snap_indexes(indexes)
     y_syms = bindings.rans_decode_striped(y_chunks, y_idx, self.y_tables.tables)
-    y_hat = self.y_tables.latent_from_symbols(y_syms, mu, y_idx)
-    return self._reconstruct(y_hat, (1, h, w, 3))
+    return self.y_tables.latent_from_symbols(y_syms, mu, y_idx)
+
+  def decompress_batch(self, blobs, chunk_size: int = 8):
+    """Pipelined multi-image decompress; returns [uint8 [H, W, 3]].
+
+    The per-image path is a strict host->device->host->device chain whose
+    two device legs each pay a full tunnel round-trip. Here equal-shaped
+    runs of bitstreams stack into ONE hyper-synthesis and ONE synthesis
+    call per chunk, every device call is dispatched asynchronously, and
+    reconstructions come back pre-quantized uint8 -- so while the device
+    runs chunk g's hyper-synthesis the host rANS-decodes other chunks,
+    and the D2H image transfer is a quarter of the float fetch.
+    Reconstructions are pixel-identical to per-image decompress().
+    """
+    stage1 = [self._decode_z_host(b) for b in blobs]
+    chunks = _equal_shape_chunks([(s[0], s[1]) for s in stage1], chunk_size)
+
+    hyper_futs = []
+    for idxs in chunks:
+      zb = jnp.asarray(
+          np.concatenate([stage1[i][2] for i in idxs], 0), jnp.float32)
+      hyper_futs.append(self._hyper_dec(self.params, zb))
+
+    rec_futs = []
+    for idxs, fut in zip(chunks, hyper_futs):
+      mu, indexes = jax.device_get(fut)
+      y_hats = [
+          self._decode_y_host(
+              stage1[i][3], mu[row : row + 1], indexes[row : row + 1])
+          for row, i in enumerate(idxs)
+      ]
+      yb = jnp.asarray(np.concatenate(y_hats, 0), jnp.float32)
+      rec_futs.append(self._synth_u8(self.params, yb))
+
+    out = [None] * len(blobs)
+    for idxs, fut in zip(chunks, rec_futs):
+      rec = np.asarray(jax.device_get(fut))
+      for row, i in enumerate(idxs):
+        h, w = stage1[i][0], stage1[i][1]
+        out[i] = rec[row, :h, :w]
+    return out
 
 
 class FactorizedCodec:
@@ -242,8 +367,13 @@ class FactorizedCodec:
     def synth(params, y_hat):
       return model.apply({"params": params}, y_hat, method=cls.synthesize)
 
+    def synth_u8(params, y_hat):
+      rec = synth(params, y_hat)
+      return models_base.floats_to_pixels(rec, training=False).astype(jnp.uint8)
+
     self._analyze = jax.jit(analyze)
     self._synth = jax.jit(synth)
+    self._synth_u8 = jax.jit(synth_u8)
 
     prior = entropy.DeepFactorizedPrior(
         channels=self.params["_prior"]["matrix_0"].shape[0]
@@ -274,7 +404,7 @@ class FactorizedCodec:
     rec255 = models_base.floats_to_pixels(rec, training=False)
     return np.asarray(jax.device_get(rec255)).astype(np.uint8)[0]
 
-  def decompress(self, blob: bytes) -> np.ndarray:
+  def _decode_host(self, blob):
     version, family_id, h, w, rest = _unpack_header(blob)
     assert version == VERSION and family_id == 0
     (y_chunks,) = _unpack_tensors(rest, 1)
@@ -284,8 +414,69 @@ class FactorizedCodec:
     y_shape = (1, ph // d, pw // d, c)
     idx = self.tables.channel_indexes(y_shape)
     syms = bindings.rans_decode_striped(y_chunks, idx, self.tables.tables)
-    y_hat = self.tables.latent_from_symbols(syms)
+    return h, w, self.tables.latent_from_symbols(syms)
+
+  def decompress(self, blob: bytes) -> np.ndarray:
+    h, w, y_hat = self._decode_host(blob)
     return self._reconstruct(y_hat, (1, h, w, 3))
+
+  def compress_batch(self, images, reconstruct: bool = False,
+                     chunk_size: int = 8):
+    """Pipelined multi-image compress (see MSHyperCodec.compress_batch)."""
+    xs = []
+    for im in images:
+      x = np.asarray(im, np.float32)
+      xs.append(x[None] if x.ndim == 3 else x)
+    chunks = _equal_shape_chunks([x.shape for x in xs], chunk_size)
+
+    futs = []
+    for idxs in chunks:
+      xb = jnp.asarray(np.concatenate([xs[i] for i in idxs], 0))
+      futs.append(self._analyze(self.params, xb))
+
+    results = [None] * len(xs)
+    rec_futs = []
+    for idxs, fut in zip(chunks, futs):
+      y = jax.device_get(fut)
+      y_hats = []
+      for row, i in enumerate(idxs):
+        h, w = xs[i].shape[1], xs[i].shape[2]
+        yi = y[row : row + 1]
+        syms = self.tables.symbols_from_latent(yi)
+        idx = self.tables.channel_indexes(yi.shape)
+        y_chunks = bindings.rans_encode_striped(syms, idx, self.tables.tables)
+        blob = _pack_header(VERSION, 0, h, w) + _pack_tensor(y_chunks)
+        results[i] = CompressionResult(blob, None, len(blob) * 8.0 / (h * w))
+        y_hats.append(self.tables.latent_from_symbols(syms))
+      if reconstruct:
+        yb = jnp.asarray(np.concatenate(y_hats, 0), jnp.float32)
+        rec_futs.append(self._synth_u8(self.params, yb))
+    if reconstruct:
+      for idxs, fut in zip(chunks, rec_futs):
+        rec = np.asarray(jax.device_get(fut))
+        for row, i in enumerate(idxs):
+          h, w = xs[i].shape[1], xs[i].shape[2]
+          results[i].reconstruction = rec[row, :h, :w]
+    return results
+
+  def decompress_batch(self, blobs, chunk_size: int = 8):
+    """Pipelined multi-image decompress (see MSHyperCodec.decompress_batch)."""
+    stage1 = [self._decode_host(b) for b in blobs]
+    chunks = _equal_shape_chunks([(s[0], s[1]) for s in stage1], chunk_size)
+
+    rec_futs = []
+    for idxs in chunks:
+      yb = jnp.asarray(
+          np.concatenate([stage1[i][2] for i in idxs], 0), jnp.float32)
+      rec_futs.append(self._synth_u8(self.params, yb))
+
+    out = [None] * len(blobs)
+    for idxs, fut in zip(chunks, rec_futs):
+      rec = np.asarray(jax.device_get(fut))
+      for row, i in enumerate(idxs):
+        h, w = stage1[i][0], stage1[i][1]
+        out[i] = rec[row, :h, :w]
+    return out
 
 
 def make_codec(model, params):

@@ -165,6 +165,34 @@ class TestModelCodecs:
         codec_api.stream_counts(result.bitstring)) * 8 / (128 * 128)
     assert result.bpp <= likelihood_bpp * 1.005 + fixed_bpp
 
+  def test_mshyper_batch_matches_single(self, mshyper_setup):
+    """compress_batch/decompress_batch must equal the per-image path exactly
+    (byte-identical bitstreams, pixel-identical reconstructions) across
+    mixed image shapes and chunk boundaries -- the batch path only
+    restructures WHEN device calls happen, never what they compute."""
+    model, params = mshyper_setup
+    codec = codec_api.make_codec(model, params)
+    rng = np.random.default_rng(3)
+    shapes = [(96, 80), (96, 80), (96, 80), (64, 96), (96, 80)]
+    imgs = [rng.integers(0, 256, s + (3,)).astype(np.float32) / 255.0 - 0.5
+            for s in shapes]
+
+    singles = [codec.compress(im) for im in imgs]
+    batch = codec.compress_batch(imgs, reconstruct=True, chunk_size=2)
+    for s, b in zip(singles, batch):
+      assert s.bitstring == b.bitstring
+      assert s.bpp == b.bpp
+      np.testing.assert_array_equal(s.reconstruction, b.reconstruction)
+
+    no_rec = codec.compress_batch(imgs, chunk_size=3)
+    assert all(r.reconstruction is None for r in no_rec)
+    assert [r.bitstring for r in no_rec] == [s.bitstring for s in singles]
+
+    recs = codec.decompress_batch([s.bitstring for s in singles], chunk_size=2)
+    for s, rec in zip(singles, recs):
+      np.testing.assert_array_equal(rec, s.reconstruction)
+      assert rec.dtype == np.uint8
+
   def test_factorized_roundtrip(self):
     from shallow_ntc_tpu.models import factorized as factorized_models
 
@@ -192,6 +220,20 @@ class TestModelCodecs:
     fixed_bpp = codec_api.fixed_overhead_bytes(
         codec_api.stream_counts(result.bitstring)) * 8 / (80 * 96)
     assert result.bpp <= float(metrics["bpp"]) * 1.005 + fixed_bpp
+
+    # Batch paths must match the per-image path exactly (mixed shapes).
+    rng = np.random.default_rng(4)
+    imgs = [img,
+            rng.integers(0, 256, (80, 96, 3)).astype(np.float32) / 255.0 - 0.5,
+            rng.integers(0, 256, (96, 64, 3)).astype(np.float32) / 255.0 - 0.5]
+    singles = [codec.compress(im) for im in imgs]
+    batch = codec.compress_batch(imgs, reconstruct=True, chunk_size=2)
+    for s, b in zip(singles, batch):
+      assert s.bitstring == b.bitstring
+      np.testing.assert_array_equal(s.reconstruction, b.reconstruction)
+    recs = codec.decompress_batch([s.bitstring for s in singles], chunk_size=2)
+    for s, rec in zip(singles, recs):
+      np.testing.assert_array_equal(rec, s.reconstruction)
 
 
 class TestStripedStreams:
