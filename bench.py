@@ -15,8 +15,14 @@ the fixed overhead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 2000 Mpixel/s (the north-star target).
+
+`--repeat N` (or env BENCH_REPEAT=N) repeats the whole marginal measurement
+N times and reports the MEAN as the headline value plus "std"/"min"/"max"/
+"n" fields — single-shot numbers on this tunneled chip carry a few percent
+of run-to-run noise (VERDICT r3 weak #3), so rounds should quote mean±std.
 """
 
+import argparse
 import json
 import os
 import time
@@ -88,6 +94,12 @@ def timed_loop(loop_fn, z_hat, y_hat, repeats=3):
 
 
 def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument(
+      "--repeat", type=int, default=int(os.environ.get("BENCH_REPEAT", "1")),
+      help="Repeat the whole marginal measurement N times; report mean+-std.")
+  args = parser.parse_args()
+
   batch = int(os.environ.get("BENCH_BATCH", "8"))
   h, w = 512, 768  # Kodak landscape
   dtype = (
@@ -104,21 +116,29 @@ def main():
 
   loop_small = build_decode_loop(model, params, batch, h, w, k_small, dtype)
   loop_large = build_decode_loop(model, params, batch, h, w, k_large, dtype)
-  t_small = timed_loop(loop_small, z_hat, y_hat)
-  t_large = timed_loop(loop_large, z_hat, y_hat)
 
-  marginal = (t_large - t_small) / (k_large - k_small)  # seconds per decode
-  mps = batch * h * w / marginal / 1e6
-  print(
-      json.dumps(
-          {
-              "metric": "decode_throughput_two_layer_syn_kodak",
-              "value": round(mps, 2),
-              "unit": "Mpixel/s/chip",
-              "vs_baseline": round(mps / NORTH_STAR_MPS, 4),
-          }
-      )
-  )
+  samples = []
+  for _ in range(max(1, args.repeat)):
+    t_small = timed_loop(loop_small, z_hat, y_hat)
+    t_large = timed_loop(loop_large, z_hat, y_hat)
+    marginal = (t_large - t_small) / (k_large - k_small)  # sec per decode
+    samples.append(batch * h * w / marginal / 1e6)
+
+  mps = float(np.mean(samples))
+  record = {
+      "metric": "decode_throughput_two_layer_syn_kodak",
+      "value": round(mps, 2),
+      "unit": "Mpixel/s/chip",
+      "vs_baseline": round(mps / NORTH_STAR_MPS, 4),
+  }
+  if len(samples) > 1:
+    record.update(
+        std=round(float(np.std(samples, ddof=1)), 2),
+        min=round(min(samples), 2),
+        max=round(max(samples), 2),
+        n=len(samples),
+    )
+  print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -60,7 +60,10 @@ def main():
 
   latest = {}
   for f in files:
-    key = re.sub(r"-step=\d+", "", os.path.basename(f))
+    # Key on the full path (sans step), not the basename: a glob spanning
+    # multiple directories can hold same-named files from different runs or
+    # datasets, and those are distinct results, not stale duplicates.
+    key = re.sub(r"-step=\d+", "", f)
     if key not in latest or step_of(f) > step_of(latest[key]):
       latest[key] = f
   dropped = sorted(set(files) - set(latest.values()))

@@ -59,6 +59,24 @@ def enabled() -> bool:
   return mode() in ("all", "syn")
 
 
+def assert_training_safe():
+  """Fail loudly if an int8 gate leaked into a gradient-based process.
+
+  round() in the quantizers has a zero gradient: with a gate set, the
+  affected transforms silently stop learning. The train/itinf CLIs call
+  this at startup so a leaked SNTC_INT8_* env var is an error, not a
+  silently broken run (advisor round 3)."""
+  leaked = [v for v in ("SNTC_INT8_DECODE", "SNTC_INT8_ENCODE")
+            if os.environ.get(v)]
+  if leaked:
+    raise RuntimeError(
+        f"{'/'.join(leaked)} set in a training/itinf process: the int8 "
+        "quantizers have zero gradient and would silently stop the affected "
+        "transforms from learning. Unset the variable(s); int8 is an "
+        "inference-only path (eval.py --decode_dtype / compress.py)."
+    )
+
+
 def encode_enabled() -> bool:
   """Separate gate for the analysis (encode) side: SNTC_INT8_ENCODE=1.
 

@@ -101,8 +101,10 @@ def run_train_main(family: str):
 
       distributed.initialize(
           FLAGS.coordinator, FLAGS.num_processes, FLAGS.process_id)
+    from shallow_ntc_tpu.ops import int8ops
     from shallow_ntc_tpu.utils.jax_setup import setup_jax
 
+    int8ops.assert_training_safe()
     setup_jax(FLAGS.matmul_precision)
     cfg, config_filename = resolve_config(FLAGS)
     runname = get_runname(cfg, config_filename, family)
@@ -128,8 +130,10 @@ def run_itinf_main(family: str):
   def main(argv):
     if len(argv) > 1:
       raise app.UsageError("Too many command-line arguments.")
+    from shallow_ntc_tpu.ops import int8ops
     from shallow_ntc_tpu.utils.jax_setup import setup_jax
 
+    int8ops.assert_training_safe()
     setup_jax(FLAGS.matmul_precision)
     cfg, config_filename = resolve_config(FLAGS)
     runname = get_runname(cfg, config_filename, family)

@@ -154,3 +154,19 @@ def test_int8_env_gate_default_off(monkeypatch):
   assert int8ops.enabled()
   with int8ops.force(False):
     assert not int8ops.enabled()
+
+
+def test_assert_training_safe_raises_on_leaked_gate(monkeypatch):
+  """A leaked SNTC_INT8_* gate must fail loudly in train/itinf processes
+
+  (zero-gradient quantizers would otherwise silently stop learning)."""
+  monkeypatch.delenv("SNTC_INT8_DECODE", raising=False)
+  monkeypatch.delenv("SNTC_INT8_ENCODE", raising=False)
+  int8ops.assert_training_safe()  # clean env: no-op
+  monkeypatch.setenv("SNTC_INT8_DECODE", "syn")
+  with pytest.raises(RuntimeError, match="zero gradient"):
+    int8ops.assert_training_safe()
+  monkeypatch.delenv("SNTC_INT8_DECODE")
+  monkeypatch.setenv("SNTC_INT8_ENCODE", "1")
+  with pytest.raises(RuntimeError, match="SNTC_INT8_ENCODE"):
+    int8ops.assert_training_safe()

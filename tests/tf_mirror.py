@@ -613,7 +613,11 @@ def mirror_full_frame_loss(
       tf.constant(z_hat.astype(np.float32))).numpy().astype(np.float64)
   mu, raw = np.split(hyper_out, 2, axis=-1)
   # sigma made positive via exp; f32 in the compute path (reference :274-276).
-  indexes = np.exp(raw.astype(np.float32)).astype(np.float64)
+  # f32 exp overflows to inf for raw > ~88.7 (random-init hyper-synthesis at
+  # flagship geometry hits this); inf is the value the reference computes
+  # too, so suppress only the warning, not the overflow.
+  with np.errstate(over="ignore"):
+    indexes = np.exp(raw.astype(np.float32)).astype(np.float64)
 
   # Main (scale-indexed Gaussian) entropy model (reference :277-291).
   if uq_method == "unoise":
