@@ -2,12 +2,14 @@
 
 TPU-native re-design of /root/reference/common/itinf_lib.py. The reference
 runs 3000 Python-side optimizer steps per batch, each a tf.function call
-(itinf_lib.py:48-67). Here the whole SGA optimization is a single
-jax.lax.scan over the latents pytree: the latent variables are the carried
-state, optax.adam updates them on device, and the SGA temperature schedule is
-computed from the (traced) scan step -- zero host round-trips inside the hot
-loop. The scan is chunked into eval segments so periodic validation metrics
-match the reference's cadence (itinf_lib.py:69-86).
+(itinf_lib.py:48-67). Here the whole SGA optimization is ONE jitted call:
+per logging segment a metric-free jax.lax.fori_loop over the latents pytree
+(optax.adam updates on device, SGA temperature computed from the traced
+step index, the aux metrics dead-code-eliminated) plus a single
+metric-keeping step that fills that segment's log row -- zero host
+round-trips inside the hot loop and one small log-buffer fetch per call.
+Optional eval segments restore the reference's mid-run validation cadence
+(itinf_lib.py:69-86).
 """
 
 import os
@@ -33,11 +35,11 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
   eval_fn(params, batch, latents, step)-> metrics dict (training=False)
 
   log_bufs is a dict of [ceil(n/log_every)]-shaped buffers: the metric rows
-  at logging steps, accumulated IN THE SCAN CARRY so one small fetch per
-  scan call replaces a per-step [n]-shaped stacked output. On the tunneled
-  chip every extra fetch costs a ~25 ms polling floor, and the wall-clock
-  target (VERDICT r3 item 1) is set by how little the host touches the
-  device between scan start and finish.
+  at logging steps, produced on device inside the one jitted call so one
+  small fetch per call replaces a per-step [n]-shaped stacked output. On
+  the tunneled chip every extra fetch costs a ~25 ms polling floor, and
+  the wall-clock target (VERDICT r3 item 1) is set by how little the host
+  touches the device between loop start and finish.
   """
   tx, lr_fn = train_lib.make_optimizer(optimizer_config, num_steps)
   model_cls = type(model)
@@ -82,7 +84,6 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
   def scan_fn(params, batch, latents, opt_state, start_step, n_steps, rng,
               log_every):
     offset = frozen_offset_fn(params)
-    n_logs = -(-n_steps // log_every)  # ceil: last row is always step n-1
 
     def step_metrics(latents, opt_state, step, rng):
       step_rng = jax.random.fold_in(rng, step)
@@ -96,30 +97,38 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
       metrics["scheduled_lr"] = lr_fn(step)
       return latents, opt_state, metrics
 
-    def body(carry, i):
-      latents, opt_state, bufs = carry
-      latents, opt_state, metrics = step_metrics(
-          latents, opt_state, start_step + i, rng)
-      # Predicated write into the fixed-size log buffers: row r fills at
-      # step (r+1)*log_every - 1; the final step always lands in the last
-      # row (so `bufs[-1]` is the converged metrics even when log_every
-      # does not divide n_steps).
-      written = jnp.logical_or((i + 1) % log_every == 0, i == n_steps - 1)
-      row = jnp.minimum(i // log_every, n_logs - 1)
-      bufs = jax.tree_util.tree_map(
-          lambda b, m: b.at[row].set(
-              jnp.where(written, m.astype(b.dtype), b[row])),
-          bufs, metrics)
-      return (latents, opt_state, bufs), ()
+    keys = sorted(jax.eval_shape(
+        step_metrics, latents, opt_state, start_step, rng)[2])
 
-    metrics_sd = jax.eval_shape(
-        step_metrics, latents, opt_state, start_step, rng)[2]
-    bufs0 = jax.tree_util.tree_map(
-        lambda s: jnp.zeros((n_logs,) + s.shape, s.dtype), metrics_sd)
-    (latents, opt_state, bufs), _ = jax.lax.scan(
-        body, (latents, opt_state, bufs0), jnp.arange(n_steps)
-    )
-    return latents, opt_state, bufs
+    def fbody(step, carry):
+      # Metric-free step: the aux metrics are dead here, so XLA removes
+      # their computation entirely. Measured on the real checkpoint, a
+      # fori_loop of these runs ~2-3x faster per step than ANY lax.scan
+      # variant of the same body (scripts/itinf_scan_ab.py), so the hot
+      # loop must never touch the log row.
+      latents, opt_state = carry
+      latents, opt_state, _ = step_metrics(latents, opt_state, step, rng)
+      return (latents, opt_state)
+
+    # Row r logs the metrics of step (r+1)*log_every - 1 (the final step
+    # always lands in the last row, so row [-1] is the converged metrics
+    # even when log_every does not divide n_steps). Each segment is a
+    # fori_loop of metric-free steps plus ONE step that keeps its metrics:
+    # the trajectory (step indices, per-step rngs, update order) is
+    # identical to a single flat loop; metrics cost one segment step each.
+    rows = []
+    pos = 0
+    while pos < n_steps:
+      seg_end = min(pos + log_every, n_steps)
+      latents, opt_state = jax.lax.fori_loop(
+          start_step + pos, start_step + seg_end - 1, fbody,
+          (latents, opt_state))
+      latents, opt_state, metrics = step_metrics(
+          latents, opt_state, start_step + seg_end - 1, rng)
+      rows.append(jnp.stack([metrics[k].astype(jnp.float32) for k in keys]))
+      pos = seg_end
+    bufs = jnp.stack(rows)
+    return latents, opt_state, {k: bufs[:, j] for j, k in enumerate(keys)}
 
   def eval_fn(params, batch, latents, step):
     _, metrics, rec = model.apply(
@@ -138,6 +147,26 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
   return init_fn, scan_fn, eval_fn
 
 
+def make_jitted_itinf(model, optimizer_config, num_steps: int):
+  """Jit the (init, scan, eval) triple ONCE for a whole dataset pass.
+
+  Re-jitting per image costs a full retrace + compile-cache load per batch
+  (several seconds over the tunnel) for byte-identical executables; the
+  driver builds this triple once and threads it through every
+  itinf_on_data_batch call.
+  """
+  init_fn, scan_fn, eval_fn = make_itinf_functions(
+      model, optimizer_config, num_steps
+  )
+  init_jit = jax.jit(init_fn)
+  # The carried latents/opt_state are dead after each segment call: donate
+  # them so XLA updates in place instead of copying per segment.
+  scan_jit = jax.jit(scan_fn, static_argnames=("n_steps", "log_every"),
+                     donate_argnames=("latents", "opt_state"))
+  eval_jit = jax.jit(eval_fn)
+  return init_jit, scan_jit, eval_jit
+
+
 def itinf_on_data_batch(
     model,
     params,
@@ -146,6 +175,7 @@ def itinf_on_data_batch(
     optimizer_config: Mapping[str, Any],
     workdir: Optional[str] = None,
     seed: int = 0,
+    jitted_fns=None,
 ):
   """Optimize latents for one batch (reference itinf_lib.py:26-93).
 
@@ -169,15 +199,10 @@ def itinf_on_data_batch(
     writer = writers_lib.create_default_writer(workdir, collection="train")
     val_writer = writers_lib.create_default_writer(workdir, collection="val")
 
-  init_fn, scan_fn, eval_fn = make_itinf_functions(
-      model, optimizer_config, num_steps
+  init_jit, scan_jit, eval_jit = (
+      jitted_fns if jitted_fns is not None
+      else make_jitted_itinf(model, optimizer_config, num_steps)
   )
-  init_jit = jax.jit(init_fn)
-  # The carried latents/opt_state are dead after each segment call: donate
-  # them so XLA updates in place instead of copying per segment.
-  scan_jit = jax.jit(scan_fn, static_argnames=("n_steps", "log_every"),
-                     donate_argnames=("latents", "opt_state"))
-  eval_jit = jax.jit(eval_fn)
 
   rng = jax.random.PRNGKey(seed)
   batch = jnp.asarray(data_batch)
@@ -266,12 +291,17 @@ def itinf_eval(
       data_cfg["dataset"], "test", data_cfg["batchsize"], data_cfg.get("patchsize")
   )
 
+  jitted_fns = make_jitted_itinf(
+      model, optimizer_config, te_cfg.get("num_steps", 3000)
+  )
+
   all_metrics = []
   for batch_id, batch in enumerate(dataset):
     batch_dir = os.path.join(workdir, f"batch_id={batch_id}")
     os.makedirs(batch_dir, exist_ok=True)
     train_m, val_m, itinf_vars = itinf_on_data_batch(
-        model, params, batch, te_cfg, optimizer_config, workdir=batch_dir
+        model, params, batch, te_cfg, optimizer_config, workdir=batch_dir,
+        jitted_fns=jitted_fns,
     )
     runname_utils.dump_json(
         {"train": train_m, "val": val_m}, os.path.join(batch_dir, "metrics.json")
