@@ -20,8 +20,13 @@ LOG=/tmp/round4_queue.log
 mark() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
 
 commit_metrics() {  # $1 = message
-  git add -A train_xms_rd train_xms_long train_xms_prec json_results \
-      itinf_xms_rd24 results 2>/dev/null
+  # NB: `git add a b c` is all-or-nothing -- one nonexistent pathspec makes
+  # it add NOTHING (this silently no-op'd the per-unit commits until
+  # round4_queue2.sh). Only add dirs that exist.
+  for d in train_xms_rd train_xms_long train_xms_prec json_results \
+           itinf_xms_rd24 results; do
+    [ -e "$d" ] && git add -A "$d"
+  done
   git diff --cached --quiet || git commit -qm "$1" || mark "commit failed: $1"
 }
 
