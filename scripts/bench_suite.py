@@ -180,7 +180,7 @@ def main():
       offset_heuristic=False,
       **{k: v for k, v in flagship.items()},
   )
-  init_fn, scan_fn, _ = itinf_lib.make_itinf_functions(
+  init_fn, scan_fn, *_ = itinf_lib.make_itinf_functions(
       itinf_model, dict(learning_rate=5e-3, warmup_until=0.0), 3000
   )
   img = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 512, 768, 3)), jnp.float32)

@@ -71,7 +71,7 @@ def main():
 
   opt_cfg = dict(learning_rate=5e-3, reduce_lr_after=0.9, reduce_lr_factor=0.1,
                  global_clipnorm=None, warmup_until=0.0)
-  init_fn, scan_fn, eval_fn = itinf_lib.make_itinf_functions(
+  init_fn, scan_fn, eval_fn, *_ = itinf_lib.make_itinf_functions(
       model, opt_cfg, args.steps)
   init_jit = jax.jit(init_fn)
   scan_jit = jax.jit(scan_fn, static_argnames=("n_steps", "log_every"))

@@ -87,7 +87,7 @@ def main():
 
   opt_cfg = dict(learning_rate=5e-3, reduce_lr_after=0.9, reduce_lr_factor=0.1,
                  global_clipnorm=None, warmup_until=0.0)
-  init_fn, scan_fn, _ = itinf_lib.make_itinf_functions(model, opt_cfg, 3000)
+  init_fn, scan_fn, *_ = itinf_lib.make_itinf_functions(model, opt_cfg, 3000)
   tx, _ = train_lib.make_optimizer(opt_cfg, 3000)
 
   rng = np.random.default_rng(0)

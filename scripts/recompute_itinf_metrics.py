@@ -64,7 +64,7 @@ def main():
     )
     optimizer_config = dict(cfg.get("model_config", {}).get("optimizer_config", {}))
     num_steps = te_cfg.get("num_steps", 3000)
-    _, _, eval_fn = itinf_lib.make_itinf_functions(
+    _, _, eval_fn, *_ = itinf_lib.make_itinf_functions(
         model, optimizer_config, num_steps
     )
     eval_jit = jax.jit(eval_fn)

@@ -13,7 +13,7 @@ Optional eval segments restore the reference's mid-run validation cadence
 """
 
 import os
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,8 +82,9 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
     return loss, metrics
 
   def scan_fn(params, batch, latents, opt_state, start_step, n_steps, rng,
-              log_every):
-    offset = frozen_offset_fn(params)
+              log_every, offset=None):
+    if offset is None:
+      offset = frozen_offset_fn(params)
 
     def step_metrics(latents, opt_state, step, rng):
       step_rng = jax.random.fold_in(rng, step)
@@ -130,7 +131,7 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
     bufs = jnp.stack(rows)
     return latents, opt_state, {k: bufs[:, j] for j, k in enumerate(keys)}
 
-  def eval_fn(params, batch, latents, step):
+  def eval_fn(params, batch, latents, step, offset=None):
     _, metrics, rec = model.apply(
         {"params": params},
         batch,
@@ -139,12 +140,36 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
         rng=None,
         step=step,
         itinf=True,
-        frozen_offset=frozen_offset_fn(params),
+        frozen_offset=(frozen_offset_fn(params) if offset is None else offset),
         method=model_cls.frame_loss_given_latent_rvs,
     )
     return metrics, rec
 
-  return init_fn, scan_fn, eval_fn
+  def run_fn(params, batch, rng, offset, n_steps, log_every):
+    """The whole per-image optimization as ONE device program: analysis
+    init -> n_steps SGA updates (log rows on device) -> final val metrics.
+    One dispatch and one small fetch per image; on the tunneled chip this
+    is what the single-image wall-clock is made of."""
+    latents, opt_state = init_fn(params, batch)
+    latents, _, bufs = scan_fn(
+        params, batch, latents, opt_state, 0, n_steps, rng, log_every,
+        offset=offset)
+    val_metrics, _ = eval_fn(params, batch, latents, n_steps, offset=offset)
+    return latents, bufs, val_metrics
+
+  return init_fn, scan_fn, eval_fn, frozen_offset_fn, run_fn
+
+
+class ItinfJit(NamedTuple):
+  """The jitted itinf surface, built once per dataset pass."""
+  init: Any
+  scan: Any
+  evalf: Any
+  offset: Any  # offset(params): the 60-iter prior-CDF bisection -- a pure
+               # function of the FROZEN params, so computed once per dataset
+               # and threaded into every scan/eval/run call.
+  run: Any     # run(params, batch, rng, offset, n_steps, log_every): the
+               # fused init->SGA->val program (one dispatch per image).
 
 
 def make_jitted_itinf(model, optimizer_config, num_steps: int):
@@ -155,7 +180,7 @@ def make_jitted_itinf(model, optimizer_config, num_steps: int):
   driver builds this triple once and threads it through every
   itinf_on_data_batch call.
   """
-  init_fn, scan_fn, eval_fn = make_itinf_functions(
+  init_fn, scan_fn, eval_fn, offset_fn, run_fn = make_itinf_functions(
       model, optimizer_config, num_steps
   )
   init_jit = jax.jit(init_fn)
@@ -164,7 +189,9 @@ def make_jitted_itinf(model, optimizer_config, num_steps: int):
   scan_jit = jax.jit(scan_fn, static_argnames=("n_steps", "log_every"),
                      donate_argnames=("latents", "opt_state"))
   eval_jit = jax.jit(eval_fn)
-  return init_jit, scan_jit, eval_jit
+  offset_jit = jax.jit(offset_fn)
+  run_jit = jax.jit(run_fn, static_argnames=("n_steps", "log_every"))
+  return ItinfJit(init_jit, scan_jit, eval_jit, offset_jit, run_jit)
 
 
 def itinf_on_data_batch(
@@ -175,7 +202,8 @@ def itinf_on_data_batch(
     optimizer_config: Mapping[str, Any],
     workdir: Optional[str] = None,
     seed: int = 0,
-    jitted_fns=None,
+    jitted_fns: Optional[ItinfJit] = None,
+    offset=None,
 ):
   """Optimize latents for one batch (reference itinf_lib.py:26-93).
 
@@ -199,39 +227,54 @@ def itinf_on_data_batch(
     writer = writers_lib.create_default_writer(workdir, collection="train")
     val_writer = writers_lib.create_default_writer(workdir, collection="val")
 
-  init_jit, scan_jit, eval_jit = (
-      jitted_fns if jitted_fns is not None
-      else make_jitted_itinf(model, optimizer_config, num_steps)
-  )
+  fns = (jitted_fns if jitted_fns is not None
+         else make_jitted_itinf(model, optimizer_config, num_steps))
+  if offset is None:
+    offset = fns.offset(params)
 
   rng = jax.random.PRNGKey(seed)
   batch = jnp.asarray(data_batch)
-  latents, opt_state = init_jit(params, batch)
 
-  step = 0
-  last_train_metrics = None
-  last_val_metrics = None
-  while step < num_steps:
-    seg = min(eval_every, num_steps - step)
-    latents, opt_state, bufs = scan_jit(
-        params, batch, latents, opt_state, step, n_steps=seg, rng=rng,
-        log_every=log_every,
-    )
-    # The logged rows were accumulated in the scan carry: ONE small fetch
-    # per segment (vs. a [seg]-shaped stacked output, of which most rows
-    # were never written anywhere).
+  def emit_rows(start, seg, bufs):
+    """Write the on-device log rows; returns the final row as floats."""
     picked = jax.device_get(bufs)
     row_steps = [min((r + 1) * log_every, seg)
                  for r in range(-(-seg // log_every))]
     if writer is not None:
       for row, s in enumerate(row_steps):
         writer.write_scalars(
-            step + s, {k: float(v[row]) for k, v in picked.items()}
+            start + s, {k: float(v[row]) for k, v in picked.items()}
         )
-    step += seg
-    last_train_metrics = {k: float(v[-1]) for k, v in picked.items()}
-    if step >= num_steps or val_writer is not None:
-      val_metrics, _ = eval_jit(params, batch, latents, step)
+    return {k: float(v[-1]) for k, v in picked.items()}
+
+  if eval_every >= num_steps:
+    # Fused fast path (the default config): the whole optimization --
+    # analysis init, every SGA step, the final val metrics -- is ONE
+    # jitted call, then one host fetch. This is the single-image
+    # wall-clock path (VERDICT r3 item 1).
+    latents, bufs, val_metrics = fns.run(
+        params, batch, rng, offset, n_steps=num_steps, log_every=log_every)
+    last_train_metrics = emit_rows(0, num_steps, bufs)
+    last_val_metrics = {
+        k: float(v) for k, v in jax.device_get(val_metrics).items()}
+    if val_writer is not None:
+      val_writer.write_scalars(num_steps, last_val_metrics)
+  else:
+    # Segmented path: mid-run validation at the reference's cadence
+    # (ref itinf_lib.py:69-86) costs one dispatch + fetch per boundary.
+    latents, opt_state = fns.init(params, batch)
+    step = 0
+    last_train_metrics = None
+    last_val_metrics = None
+    while step < num_steps:
+      seg = min(eval_every, num_steps - step)
+      latents, opt_state, bufs = fns.scan(
+          params, batch, latents, opt_state, step, n_steps=seg, rng=rng,
+          log_every=log_every, offset=offset,
+      )
+      last_train_metrics = emit_rows(step, seg, bufs)
+      step += seg
+      val_metrics, _ = fns.evalf(params, batch, latents, step, offset=offset)
       last_val_metrics = {
           k: float(v) for k, v in jax.device_get(val_metrics).items()}
       if val_writer is not None:
@@ -294,6 +337,9 @@ def itinf_eval(
   jitted_fns = make_jitted_itinf(
       model, optimizer_config, te_cfg.get("num_steps", 3000)
   )
+  # The quantization-offset bisection depends only on the frozen params:
+  # once per dataset pass, not once per image.
+  offset = jitted_fns.offset(params)
 
   all_metrics = []
   for batch_id, batch in enumerate(dataset):
@@ -301,7 +347,7 @@ def itinf_eval(
     os.makedirs(batch_dir, exist_ok=True)
     train_m, val_m, itinf_vars = itinf_on_data_batch(
         model, params, batch, te_cfg, optimizer_config, workdir=batch_dir,
-        jitted_fns=jitted_fns,
+        jitted_fns=jitted_fns, offset=offset,
     )
     runname_utils.dump_json(
         {"train": train_m, "val": val_m}, os.path.join(batch_dir, "metrics.json")

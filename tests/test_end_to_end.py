@@ -173,3 +173,41 @@ def test_itinf_bf16_transforms(trained_workdir, tmp_path):
   assert itinf_vars["uq_1_loc"].dtype == np.float32
   assert val_m["rd_loss"] <= amortized * 1.05
   assert np.isfinite(train_m["rd_loss"])
+
+
+def test_itinf_fused_matches_segmented(trained_workdir, tmp_path):
+  """The fused one-dispatch-per-image path (eval_every >= num_steps; the
+  wall-clock default, itinf_lib.ItinfJit.run) must produce the same
+  optimization as the segmented path: identical trajectory (same per-step
+  rngs and update order), so identical final latents and log rows."""
+  workdir, _ = trained_workdir
+  model, params, config = eval_lib.load_latest_ckpt(
+      workdir, "mshyper",
+      update_model_config=dict(
+          latent_config=dict(uq=dict(method="sga", tau_r=2e-2, tau_ub=0.5, tau_t0=20)),
+          offset_heuristic=False,
+      ),
+  )
+  batch = np.asarray(next(iter(data_lib.SyntheticDataset(1, 64, num_batches=1))))
+  opt_cfg = dict(learning_rate=5e-3, warmup_until=0.0)
+
+  def run(eval_every):
+    return itinf_lib.itinf_on_data_batch(
+        model, params, batch,
+        train_eval_config=dict(num_steps=60, log_metrics_every_steps=20,
+                               eval_every_steps=eval_every),
+        optimizer_config=opt_cfg,
+        workdir=None,
+    )
+
+  tm_seg, vm_seg, vars_seg = run(eval_every=20)   # 3 segments
+  tm_fus, vm_fus, vars_fus = run(eval_every=60)   # fused single call
+  # Same trajectory (per-step rngs, update order, tau/lr schedules); only
+  # XLA fusion differences between the two compiled programs remain, so
+  # near-equality rather than bitwise.
+  for k in vars_seg:
+    np.testing.assert_allclose(vars_seg[k], vars_fus[k], rtol=1e-4, atol=1e-4)
+  for k in tm_seg:
+    np.testing.assert_allclose(tm_seg[k], tm_fus[k], rtol=1e-3, atol=1e-4)
+  for k in vm_seg:
+    np.testing.assert_allclose(vm_seg[k], vm_fus[k], rtol=1e-3, atol=1e-4)
