@@ -146,20 +146,19 @@ class MSHyperCodec:
 
     def analyze(params, x):
       latents = model.apply({"params": params}, x, method=cls.infer_latent_rvs)
-      z, y = latents.uq[0].loc, latents.uq[1].loc
-      offset = model.apply(
-          {"params": params}, method=cls.prior_quantization_offset
-      )
-      if offset is None:
-        offset = jnp.zeros((z.shape[-1],), jnp.float32)
-      z_hat = jnp.round(z - offset) + offset
-      mu, indexes = model.apply(
-          {"params": params}, z_hat, method=cls.hyper_synthesize
-      )
-      indexes = entropy.normalize_indexes(indexes)
-      return z, z_hat, y, mu, indexes
+      return latents.uq[0].loc, latents.uq[1].loc  # z, y
 
     def hyper_dec(params, z_hat):
+      # DETERMINISM CONTRACT: (mu, indexes) select the rANS coding tables,
+      # so the encoder and decoder must compute them BIT-IDENTICALLY -- one
+      # flipped scale index derails the stream from that symbol on. XLA
+      # compiles a different conv tiling per (program, batch) shape, and
+      # different tilings round differently at low bits, so every codec
+      # path runs THIS jitted program at canonical batch-1 geometry on the
+      # host-canonical z_hat. (Found the hard way: an encoder that took
+      # mu/indexes from a fused analysis program decoded to 18 dB instead
+      # of 30 dB through the standalone-program decoder.) Only synthesis
+      # may batch: pixels carry no coding state.
       mu, indexes = model.apply(
           {"params": params}, z_hat, method=cls.hyper_synthesize
       )
@@ -191,13 +190,17 @@ class MSHyperCodec:
     p = self.params["_prior"]["matrix_0"]
     return p.shape[0]
 
-  def _encode_host(self, z, y, mu, indexes, h, w):
-    """Host rANS side of compress() for ONE (batch-1) image's tensors;
-    returns (blob, y_hat) with y_hat the decoder-exact coding-grid latent."""
+  def _encode_z_host(self, z):
+    """Host z encode for ONE image: returns (z_chunks, z_hat) with z_hat the
+    decoder-exact coding-grid latent (the exact array _decode_z_host will
+    reproduce, and therefore the only valid hyper-synthesis input)."""
     z_syms = self.z_tables.symbols_from_latent(z)
     z_idx = self.z_tables.channel_indexes(z.shape)
     z_chunks = bindings.rans_encode_striped(z_syms, z_idx, self.z_tables.tables)
+    return z_chunks, self.z_tables.latent_from_symbols(z_syms)
 
+  def _encode_y_host(self, z_chunks, y, mu, indexes, h, w):
+    """Host y encode for ONE image; returns (blob, y_hat)."""
     y_idx = self.y_tables.snap_indexes(indexes)
     y_syms = self.y_tables.symbols_from_latent(y, mu, y_idx)
     y_chunks = bindings.rans_encode_striped(y_syms, y_idx, self.y_tables.tables)
@@ -216,8 +219,11 @@ class MSHyperCodec:
     assert x.shape[0] == 1, "codec compresses one image at a time"
     h, w = x.shape[1], x.shape[2]
 
-    z, z_hat, y, mu, indexes = jax.device_get(self._analyze(self.params, jnp.asarray(x)))
-    blob, y_hat = self._encode_host(z, y, mu, indexes, h, w)
+    z, y = jax.device_get(self._analyze(self.params, jnp.asarray(x)))
+    z_chunks, z_hat = self._encode_z_host(z)
+    mu, indexes = jax.device_get(
+        self._hyper_dec(self.params, jnp.asarray(z_hat, jnp.float32)))
+    blob, y_hat = self._encode_y_host(z_chunks, y, mu, indexes, h, w)
     rec = self._reconstruct(y_hat, (1, h, w, 3))
     bpp = len(blob) * 8.0 / (h * w)
     return CompressionResult(blob, rec, bpp)
@@ -229,10 +235,13 @@ class MSHyperCodec:
     Equal-shaped runs of images are stacked into ONE analysis call per
     chunk (one tunnel round-trip instead of per-image rounds), dispatched
     asynchronously up front so the device transforms chunk g+1 while the
-    host rANS-encodes chunk g. reconstruct=False (default) skips the
+    host rANS-encodes chunk g. The coding-table inputs (mu, indexes) are
+    computed per image by the SAME canonical batch-1 hyper-synthesis
+    program the decoder runs (see hyper_dec's determinism contract);
+    those calls are also dispatched async, so they hide behind the host
+    z-encode of later images. reconstruct=False (default) skips the
     encoder-side synthesis entirely -- batch callers that only need
-    bitstreams save a second device pass. Bitstreams are byte-identical
-    to per-image compress().
+    bitstreams save a second device pass.
     """
     xs = []
     for im in images:
@@ -245,22 +254,30 @@ class MSHyperCodec:
       xb = jnp.asarray(np.concatenate([xs[i] for i in idxs], 0))
       futs.append(self._analyze(self.params, xb))
 
-    results = [None] * len(xs)
-    rec_futs = []
+    # Stage B: per image, host z-encode + async canonical hyper-synthesis.
+    stage = []  # (i, z_chunks, hyper_future, y_row)
     for idxs, fut in zip(chunks, futs):
-      z, _, y, mu, indexes = jax.device_get(fut)
-      y_hats = []
+      z, y = jax.device_get(fut)
       for row, i in enumerate(idxs):
-        h, w = xs[i].shape[1], xs[i].shape[2]
-        blob, y_hat = self._encode_host(
-            z[row : row + 1], y[row : row + 1], mu[row : row + 1],
-            indexes[row : row + 1], h, w)
-        results[i] = CompressionResult(blob, None, len(blob) * 8.0 / (h * w))
-        y_hats.append(y_hat)
-      if reconstruct:
-        yb = jnp.asarray(np.concatenate(y_hats, 0), jnp.float32)
-        rec_futs.append(self._synth_u8(self.params, yb))
+        z_chunks, z_hat = self._encode_z_host(z[row : row + 1])
+        hyper_fut = self._hyper_dec(
+            self.params, jnp.asarray(z_hat, jnp.float32))
+        stage.append((i, z_chunks, hyper_fut, y[row : row + 1]))
+
+    results = [None] * len(xs)
+    y_hats = {}
+    for i, z_chunks, hyper_fut, y_row in stage:
+      mu, indexes = jax.device_get(hyper_fut)
+      h, w = xs[i].shape[1], xs[i].shape[2]
+      blob, y_hat = self._encode_y_host(z_chunks, y_row, mu, indexes, h, w)
+      results[i] = CompressionResult(blob, None, len(blob) * 8.0 / (h * w))
+      y_hats[i] = y_hat
     if reconstruct:
+      rec_futs = []
+      for idxs in chunks:
+        yb = jnp.asarray(
+            np.concatenate([y_hats[i] for i in idxs], 0), jnp.float32)
+        rec_futs.append(self._synth_u8(self.params, yb))
       for idxs, fut in zip(chunks, rec_futs):
         rec = np.asarray(jax.device_get(fut))
         for row, i in enumerate(idxs):
@@ -315,31 +332,31 @@ class MSHyperCodec:
     """Pipelined multi-image decompress; returns [uint8 [H, W, 3]].
 
     The per-image path is a strict host->device->host->device chain whose
-    two device legs each pay a full tunnel round-trip. Here equal-shaped
-    runs of bitstreams stack into ONE hyper-synthesis and ONE synthesis
-    call per chunk, every device call is dispatched asynchronously, and
-    reconstructions come back pre-quantized uint8 -- so while the device
-    runs chunk g's hyper-synthesis the host rANS-decodes other chunks,
-    and the D2H image transfer is a quarter of the float fetch.
-    Reconstructions are pixel-identical to per-image decompress().
+    two device legs each pay a full tunnel round-trip. Here the
+    hyper-synthesis calls -- which MUST run the canonical batch-1 program
+    the encoder used (see hyper_dec's determinism contract) -- are all
+    dispatched asynchronously up front, equal-shaped runs of decoded
+    latents stack into ONE synthesis call per chunk, and reconstructions
+    come back pre-quantized uint8 -- so while the device runs image i's
+    hyper-synthesis the host rANS-decodes other images, and the D2H image
+    transfer is a quarter of the float fetch. y_hat is bit-identical to
+    per-image decompress(); reconstructions can differ by the odd +-1
+    uint8 rounding flip where the batched synthesis tiling rounds
+    differently.
     """
     stage1 = [self._decode_z_host(b) for b in blobs]
+    hyper_futs = [
+        self._hyper_dec(self.params, jnp.asarray(s[2], jnp.float32))
+        for s in stage1
+    ]
     chunks = _equal_shape_chunks([(s[0], s[1]) for s in stage1], chunk_size)
 
-    hyper_futs = []
-    for idxs in chunks:
-      zb = jnp.asarray(
-          np.concatenate([stage1[i][2] for i in idxs], 0), jnp.float32)
-      hyper_futs.append(self._hyper_dec(self.params, zb))
-
     rec_futs = []
-    for idxs, fut in zip(chunks, hyper_futs):
-      mu, indexes = jax.device_get(fut)
-      y_hats = [
-          self._decode_y_host(
-              stage1[i][3], mu[row : row + 1], indexes[row : row + 1])
-          for row, i in enumerate(idxs)
-      ]
+    for idxs in chunks:
+      y_hats = []
+      for i in idxs:
+        mu, indexes = jax.device_get(hyper_futs[i])
+        y_hats.append(self._decode_y_host(stage1[i][3], mu, indexes))
       yb = jnp.asarray(np.concatenate(y_hats, 0), jnp.float32)
       rec_futs.append(self._synth_u8(self.params, yb))
 

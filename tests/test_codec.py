@@ -193,6 +193,19 @@ class TestModelCodecs:
       np.testing.assert_array_equal(rec, s.reconstruction)
       assert rec.dtype == np.uint8
 
+    # Cross-path/cross-chunking interop: a bitstream must decode correctly
+    # regardless of how it was batched at encode time and how the decoder
+    # batches. The coding tables (mu, indexes) are therefore ALWAYS
+    # computed by the same canonical batch-1 hyper-synthesis program on
+    # both sides (codec/api.py hyper_dec determinism contract) -- on TPU,
+    # program/geometry-dependent conv tilings otherwise flip scale indexes
+    # and derail the rANS stream (18.6 dB instead of 30.5 dB).
+    np.testing.assert_array_equal(
+        codec.decompress(batch[0].bitstring), batch[0].reconstruction)
+    recs4 = codec.decompress_batch([r.bitstring for r in batch], chunk_size=4)
+    for s, rec in zip(singles, recs4):
+      np.testing.assert_array_equal(rec, s.reconstruction)
+
   def test_factorized_roundtrip(self):
     from shallow_ntc_tpu.models import factorized as factorized_models
 
