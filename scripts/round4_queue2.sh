@@ -45,8 +45,13 @@ case "${1:-rest}" in
       mark "skip eval lmbda=$lam (no ckpt yet)"
     fi
 
-    # 2. Remaining trains: hid 2 (0.005) and 4 (0.02).
+    # 2. Remaining trains: hid 2 (0.005) and 4 (0.02). Each unit needs
+    # ~37 min; don't start one that cannot finish before the round ends
+    # (the driver benches on this chip at round end).
+    TRAIN_CUTOFF=1787136300   # ~10:45 UTC
+    SGA_CUTOFF=1787137500     # ~11:05 UTC
     for hid in 2 4; do
+      [ "$(date +%s)" -gt "$TRAIN_CUTOFF" ] && { mark "skip train hid=$hid (cutoff)"; continue; }
       lam=${JPEGL_LAMBDAS[$hid]}
       wd="train_xms_rd/jpegl01/mshyper-synthesis=jpegl-lmbda=$lam-num_steps=30000"
       mark "jpegl hid=$hid lmbda=$lam: train"
@@ -64,6 +69,7 @@ case "${1:-rest}" in
     # 3. Stretch (VERDICT item 8): SGA on jpegl checkpoints -- shows itinf
     # generalizes across decoders. Spanning lambdas from what is trained.
     for lam in 0.0025 0.02; do
+      [ "$(date +%s)" -gt "$SGA_CUTOFF" ] && { mark "skip SGA lmbda=$lam (cutoff)"; continue; }
       wd="train_xms_rd/jpegl01/mshyper-synthesis=jpegl-lmbda=$lam-num_steps=30000"
       [ -d "$wd/train/checkpoints" ] || { mark "skip SGA lmbda=$lam (no ckpt)"; continue; }
       xid="sga24_jpegl_$lam"
