@@ -96,7 +96,7 @@ def timed_loop(loop_fn, z_hat, y_hat, repeats=3):
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument(
-      "--repeat", type=int, default=int(os.environ.get("BENCH_REPEAT", "1")),
+      "--repeat", type=int, default=int(os.environ.get("BENCH_REPEAT", "3")),
       help="Repeat the whole marginal measurement N times; report mean+-std.")
   args = parser.parse_args()
 

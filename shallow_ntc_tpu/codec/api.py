@@ -118,6 +118,27 @@ class CompressionResult:
   bpp: float
 
 
+# Batch codec paths dispatch at most this many device chunks ahead of the
+# host consumer: enough to overlap host rANS with device transforms, while
+# resident device memory stays O(lookahead * chunk_size), not O(len(images))
+# (advisor round 4 -- the unbounded version could OOM the chip on a large
+# image list despite the chunking knob).
+_LOOKAHEAD_CHUNKS = 2
+
+
+def _drain_recs(pending, keep, xs, results):
+  """Fetch queued (idxs, uint8-synthesis-future) pairs until <= `keep` remain.
+
+  xs[i] gives the unpadded input shape; results[i].reconstruction is filled
+  with the [h, w, 3] crop."""
+  while len(pending) > keep:
+    idxs, fut = pending.pop(0)
+    rec = np.asarray(jax.device_get(fut))
+    for row, i in enumerate(idxs):
+      h, w = xs[i].shape[1], xs[i].shape[2]
+      results[i].reconstruction = rec[row, :h, :w]
+
+
 def _equal_shape_chunks(shapes, chunk_size):
   """Split indexes 0..n-1 into runs of equal (h, w), each <= chunk_size.
 
@@ -249,40 +270,55 @@ class MSHyperCodec:
       xs.append(x[None] if x.ndim == 3 else x)
     chunks = _equal_shape_chunks([x.shape for x in xs], chunk_size)
 
-    futs = []  # async device results, one per chunk
-    for idxs in chunks:
-      xb = jnp.asarray(np.concatenate([xs[i] for i in idxs], 0))
-      futs.append(self._analyze(self.params, xb))
+    # Bounded lookahead (advisor round 4): dispatch at most LOOKAHEAD chunks
+    # of analysis ahead of the host consumer, so resident device memory
+    # scales with chunk_size, not len(images), while the host/device overlap
+    # is preserved (the device transforms chunk g+1..g+2 while the host
+    # rANS-encodes chunk g).
+    analysis_futs = {}
 
-    # Stage B: per image, host z-encode + async canonical hyper-synthesis.
-    stage = []  # (i, z_chunks, hyper_future, y_row)
-    for idxs, fut in zip(chunks, futs):
-      z, y = jax.device_get(fut)
-      for row, i in enumerate(idxs):
-        z_chunks, z_hat = self._encode_z_host(z[row : row + 1])
-        hyper_fut = self._hyper_dec(
-            self.params, jnp.asarray(z_hat, jnp.float32))
-        stage.append((i, z_chunks, hyper_fut, y[row : row + 1]))
+    def dispatch_analysis(g):
+      idxs = chunks[g]
+      xb = jnp.asarray(np.concatenate([xs[i] for i in idxs], 0))
+      analysis_futs[g] = self._analyze(self.params, xb)
+
+    for g in range(min(_LOOKAHEAD_CHUNKS, len(chunks))):
+      dispatch_analysis(g)
 
     results = [None] * len(xs)
     y_hats = {}
-    for i, z_chunks, hyper_fut, y_row in stage:
+    pending = []  # (i, z_chunks, hyper_future, y_row), <= ~2 chunks deep
+
+    def finish(item):
+      i, z_chunks, hyper_fut, y_row = item
       mu, indexes = jax.device_get(hyper_fut)
       h, w = xs[i].shape[1], xs[i].shape[2]
       blob, y_hat = self._encode_y_host(z_chunks, y_row, mu, indexes, h, w)
       results[i] = CompressionResult(blob, None, len(blob) * 8.0 / (h * w))
       y_hats[i] = y_hat
+
+    for g, idxs in enumerate(chunks):
+      z, y = jax.device_get(analysis_futs.pop(g))
+      if g + _LOOKAHEAD_CHUNKS < len(chunks):
+        dispatch_analysis(g + _LOOKAHEAD_CHUNKS)
+      for row, i in enumerate(idxs):
+        z_chunks, z_hat = self._encode_z_host(z[row : row + 1])
+        hyper_fut = self._hyper_dec(
+            self.params, jnp.asarray(z_hat, jnp.float32))
+        pending.append((i, z_chunks, hyper_fut, y[row : row + 1]))
+      while len(pending) > chunk_size:  # keep <= ~1 chunk of hypers in flight
+        finish(pending.pop(0))
+    for item in pending:
+      finish(item)
+
     if reconstruct:
-      rec_futs = []
-      for idxs in chunks:
+      rec_pending = []
+      for g, idxs in enumerate(chunks):
         yb = jnp.asarray(
             np.concatenate([y_hats[i] for i in idxs], 0), jnp.float32)
-        rec_futs.append(self._synth_u8(self.params, yb))
-      for idxs, fut in zip(chunks, rec_futs):
-        rec = np.asarray(jax.device_get(fut))
-        for row, i in enumerate(idxs):
-          h, w = xs[i].shape[1], xs[i].shape[2]
-          results[i].reconstruction = rec[row, :h, :w]
+        rec_pending.append((idxs, self._synth_u8(self.params, yb)))
+        _drain_recs(rec_pending, _LOOKAHEAD_CHUNKS - 1, xs, results)
+      _drain_recs(rec_pending, 0, xs, results)
     return results
 
   def _latent_shapes(self, h, w):
@@ -328,44 +364,68 @@ class MSHyperCodec:
     y_syms = bindings.rans_decode_striped(y_chunks, y_idx, self.y_tables.tables)
     return self.y_tables.latent_from_symbols(y_syms, mu, y_idx)
 
-  def decompress_batch(self, blobs, chunk_size: int = 8):
+  def decompress_batch(self, blobs, chunk_size: int = 8,
+                       strict: bool = False):
     """Pipelined multi-image decompress; returns [uint8 [H, W, 3]].
 
     The per-image path is a strict host->device->host->device chain whose
     two device legs each pay a full tunnel round-trip. Here the
     hyper-synthesis calls -- which MUST run the canonical batch-1 program
-    the encoder used (see hyper_dec's determinism contract) -- are all
-    dispatched asynchronously up front, equal-shaped runs of decoded
-    latents stack into ONE synthesis call per chunk, and reconstructions
-    come back pre-quantized uint8 -- so while the device runs image i's
-    hyper-synthesis the host rANS-decodes other images, and the D2H image
-    transfer is a quarter of the float fetch. y_hat is bit-identical to
-    per-image decompress(); reconstructions can differ by the odd +-1
-    uint8 rounding flip where the batched synthesis tiling rounds
-    differently.
+    the encoder used (see hyper_dec's determinism contract) -- are
+    dispatched asynchronously with a bounded lookahead, equal-shaped runs
+    of decoded latents stack into ONE synthesis call per chunk, and
+    reconstructions come back pre-quantized uint8 -- so while the device
+    runs image i's hyper-synthesis the host rANS-decodes other images, and
+    the D2H image transfer is a quarter of the float fetch. y_hat is
+    bit-identical to per-image decompress(); reconstructions can differ by
+    the odd +-1 uint8 rounding flip where the batched synthesis tiling
+    rounds differently.
+
+    strict=True runs the synthesis per image through the SAME program
+    per-image decompress() uses, so reconstructions are bit-identical
+    across paths (parity-critical evals; advisor round 4) at the cost of
+    the batched-synthesis stacking and the uint8 fetch.
     """
     stage1 = [self._decode_z_host(b) for b in blobs]
-    hyper_futs = [
-        self._hyper_dec(self.params, jnp.asarray(s[2], jnp.float32))
-        for s in stage1
-    ]
     chunks = _equal_shape_chunks([(s[0], s[1]) for s in stage1], chunk_size)
 
-    rec_futs = []
-    for idxs in chunks:
-      y_hats = []
-      for i in idxs:
-        mu, indexes = jax.device_get(hyper_futs[i])
-        y_hats.append(self._decode_y_host(stage1[i][3], mu, indexes))
-      yb = jnp.asarray(np.concatenate(y_hats, 0), jnp.float32)
-      rec_futs.append(self._synth_u8(self.params, yb))
+    hyper_futs = {}
+
+    def dispatch_hypers(g):
+      for i in chunks[g]:
+        hyper_futs[i] = self._hyper_dec(
+            self.params, jnp.asarray(stage1[i][2], jnp.float32))
+
+    for g in range(min(_LOOKAHEAD_CHUNKS, len(chunks))):
+      dispatch_hypers(g)
 
     out = [None] * len(blobs)
-    for idxs, fut in zip(chunks, rec_futs):
-      rec = np.asarray(jax.device_get(fut))
-      for row, i in enumerate(idxs):
-        h, w = stage1[i][0], stage1[i][1]
-        out[i] = rec[row, :h, :w]
+    rec_pending = []  # (idxs, future), drained with a one-chunk lag
+
+    def drain(keep):
+      while len(rec_pending) > keep:
+        idxs, fut = rec_pending.pop(0)
+        rec = np.asarray(jax.device_get(fut))
+        for row, i in enumerate(idxs):
+          h, w = stage1[i][0], stage1[i][1]
+          out[i] = rec[row, :h, :w]
+
+    for g, idxs in enumerate(chunks):
+      if g + _LOOKAHEAD_CHUNKS < len(chunks):
+        dispatch_hypers(g + _LOOKAHEAD_CHUNKS)
+      y_hats = []
+      for i in idxs:
+        mu, indexes = jax.device_get(hyper_futs.pop(i))
+        y_hats.append(self._decode_y_host(stage1[i][3], mu, indexes))
+      if strict:
+        for i, y_hat in zip(idxs, y_hats):
+          h, w = stage1[i][0], stage1[i][1]
+          out[i] = self._reconstruct(y_hat, (1, h, w, 3))
+      else:
+        yb = jnp.asarray(np.concatenate(y_hats, 0), jnp.float32)
+        rec_pending.append((idxs, self._synth_u8(self.params, yb)))
+        drain(1)
+    drain(0)
     return out
 
 
@@ -446,15 +506,23 @@ class FactorizedCodec:
       xs.append(x[None] if x.ndim == 3 else x)
     chunks = _equal_shape_chunks([x.shape for x in xs], chunk_size)
 
-    futs = []
-    for idxs in chunks:
+    # Bounded lookahead: see MSHyperCodec.compress_batch.
+    analysis_futs = {}
+
+    def dispatch_analysis(g):
+      idxs = chunks[g]
       xb = jnp.asarray(np.concatenate([xs[i] for i in idxs], 0))
-      futs.append(self._analyze(self.params, xb))
+      analysis_futs[g] = self._analyze(self.params, xb)
+
+    for g in range(min(_LOOKAHEAD_CHUNKS, len(chunks))):
+      dispatch_analysis(g)
 
     results = [None] * len(xs)
-    rec_futs = []
-    for idxs, fut in zip(chunks, futs):
-      y = jax.device_get(fut)
+    rec_pending = []
+    for g, idxs in enumerate(chunks):
+      y = jax.device_get(analysis_futs.pop(g))
+      if g + _LOOKAHEAD_CHUNKS < len(chunks):
+        dispatch_analysis(g + _LOOKAHEAD_CHUNKS)
       y_hats = []
       for row, i in enumerate(idxs):
         h, w = xs[i].shape[1], xs[i].shape[2]
@@ -467,32 +535,39 @@ class FactorizedCodec:
         y_hats.append(self.tables.latent_from_symbols(syms))
       if reconstruct:
         yb = jnp.asarray(np.concatenate(y_hats, 0), jnp.float32)
-        rec_futs.append(self._synth_u8(self.params, yb))
-    if reconstruct:
-      for idxs, fut in zip(chunks, rec_futs):
-        rec = np.asarray(jax.device_get(fut))
-        for row, i in enumerate(idxs):
-          h, w = xs[i].shape[1], xs[i].shape[2]
-          results[i].reconstruction = rec[row, :h, :w]
+        rec_pending.append((idxs, self._synth_u8(self.params, yb)))
+        _drain_recs(rec_pending, _LOOKAHEAD_CHUNKS - 1, xs, results)
+    _drain_recs(rec_pending, 0, xs, results)
     return results
 
-  def decompress_batch(self, blobs, chunk_size: int = 8):
+  def decompress_batch(self, blobs, chunk_size: int = 8,
+                       strict: bool = False):
     """Pipelined multi-image decompress (see MSHyperCodec.decompress_batch)."""
     stage1 = [self._decode_host(b) for b in blobs]
     chunks = _equal_shape_chunks([(s[0], s[1]) for s in stage1], chunk_size)
 
-    rec_futs = []
-    for idxs in chunks:
-      yb = jnp.asarray(
-          np.concatenate([stage1[i][2] for i in idxs], 0), jnp.float32)
-      rec_futs.append(self._synth_u8(self.params, yb))
-
     out = [None] * len(blobs)
-    for idxs, fut in zip(chunks, rec_futs):
-      rec = np.asarray(jax.device_get(fut))
-      for row, i in enumerate(idxs):
-        h, w = stage1[i][0], stage1[i][1]
-        out[i] = rec[row, :h, :w]
+    rec_pending = []
+
+    def drain(keep):
+      while len(rec_pending) > keep:
+        idxs, fut = rec_pending.pop(0)
+        rec = np.asarray(jax.device_get(fut))
+        for row, i in enumerate(idxs):
+          h, w = stage1[i][0], stage1[i][1]
+          out[i] = rec[row, :h, :w]
+
+    for idxs in chunks:
+      if strict:
+        for i in idxs:
+          h, w = stage1[i][0], stage1[i][1]
+          out[i] = self._reconstruct(stage1[i][2], (1, h, w, 3))
+      else:
+        yb = jnp.asarray(
+            np.concatenate([stage1[i][2] for i in idxs], 0), jnp.float32)
+        rec_pending.append((idxs, self._synth_u8(self.params, yb)))
+        drain(_LOOKAHEAD_CHUNKS - 1)
+    drain(0)
     return out
 
 

@@ -66,8 +66,11 @@ def assert_training_safe():
   affected transforms silently stop learning. The train/itinf CLIs call
   this at startup so a leaked SNTC_INT8_* env var is an error, not a
   silently broken run (advisor round 3)."""
-  leaked = [v for v in ("SNTC_INT8_DECODE", "SNTC_INT8_ENCODE")
-            if os.environ.get(v)]
+  leaked = []
+  if mode() in ("all", "syn"):  # effective state, not raw truthiness:
+    leaked.append("SNTC_INT8_DECODE")  # SNTC_INT8_DECODE=0/off is fine
+  if encode_enabled():
+    leaked.append("SNTC_INT8_ENCODE")
   if leaked:
     raise RuntimeError(
         f"{'/'.join(leaked)} set in a training/itinf process: the int8 "

@@ -177,21 +177,46 @@ class TestModelCodecs:
     imgs = [rng.integers(0, 256, s + (3,)).astype(np.float32) / 255.0 - 0.5
             for s in shapes]
 
+    # Byte-identity between per-image and batched ENCODE holds on CPU, where
+    # XLA's conv results are geometry-independent. On TPU the batched
+    # _analyze is a different program whose conv tiling can flip a rounded
+    # z/y symbol in the low bits (the exact effect hyper_dec's determinism
+    # contract documents), so there the guaranteed-by-construction contract
+    # is DECODABILITY, not byte-identity (advisor round 4) -- asserted by
+    # the cross-path decode checks below, which run on every backend.
+    exact_encode = jax.default_backend() == "cpu"
+
     singles = [codec.compress(im) for im in imgs]
     batch = codec.compress_batch(imgs, reconstruct=True, chunk_size=2)
     for s, b in zip(singles, batch):
-      assert s.bitstring == b.bitstring
-      assert s.bpp == b.bpp
-      np.testing.assert_array_equal(s.reconstruction, b.reconstruction)
+      if exact_encode:
+        assert s.bitstring == b.bitstring
+        assert s.bpp == b.bpp
+        np.testing.assert_array_equal(s.reconstruction, b.reconstruction)
 
     no_rec = codec.compress_batch(imgs, chunk_size=3)
     assert all(r.reconstruction is None for r in no_rec)
-    assert [r.bitstring for r in no_rec] == [s.bitstring for s in singles]
+    if exact_encode:
+      assert [r.bitstring for r in no_rec] == [s.bitstring for s in singles]
+
+    def assert_recon_match(a, b):
+      if exact_encode:
+        np.testing.assert_array_equal(a, b)
+      else:  # TPU: batched synthesis tiling may flip the odd uint8 by +-1
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert d.max() <= 1 and (d != 0).mean() < 0.05, (d.max(), (d != 0).mean())
 
     recs = codec.decompress_batch([s.bitstring for s in singles], chunk_size=2)
     for s, rec in zip(singles, recs):
-      np.testing.assert_array_equal(rec, s.reconstruction)
+      assert_recon_match(rec, s.reconstruction)
       assert rec.dtype == np.uint8
+
+    # strict=True must reproduce per-image decompress() bit-identically on
+    # EVERY backend (it runs the same per-image synthesis program).
+    recs_strict = codec.decompress_batch(
+        [s.bitstring for s in singles], chunk_size=2, strict=True)
+    for s, rec in zip(singles, recs_strict):
+      np.testing.assert_array_equal(rec, s.reconstruction)
 
     # Cross-path/cross-chunking interop: a bitstream must decode correctly
     # regardless of how it was batched at encode time and how the decoder
@@ -200,11 +225,11 @@ class TestModelCodecs:
     # both sides (codec/api.py hyper_dec determinism contract) -- on TPU,
     # program/geometry-dependent conv tilings otherwise flip scale indexes
     # and derail the rANS stream (18.6 dB instead of 30.5 dB).
-    np.testing.assert_array_equal(
+    assert_recon_match(
         codec.decompress(batch[0].bitstring), batch[0].reconstruction)
     recs4 = codec.decompress_batch([r.bitstring for r in batch], chunk_size=4)
     for s, rec in zip(singles, recs4):
-      np.testing.assert_array_equal(rec, s.reconstruction)
+      assert_recon_match(rec, s.reconstruction)
 
   def test_factorized_roundtrip(self):
     from shallow_ntc_tpu.models import factorized as factorized_models

