@@ -116,17 +116,21 @@ def main():
   add_module_stage("conv1_s2", elic._conv(192, 5, 2, dtype=bf16),
                    (B, H // 2, W // 2, 192), conv_flops(5, 192))
   add_rb_chain_stage("rb_chain2", 192, (H // 4, W // 4))
+  def attn_flops(c):
+    # SimpleAttention = trunk (3 RBs) + branch (3 RBs) + 1x1 gate conv:
+    # 6 bottleneck RBs (1x1 c->c/2, 3x3 c/2->c/2, 1x1 c/2->c) + one c->c 1x1.
+    per_rb = 2 * (c * (c // 2) + 9 * (c // 2) ** 2 + (c // 2) * c)
+    return lambda out: int(np.prod(out[:3])) * (6 * per_rb + 2 * c * c)
+
   add_module_stage("attn1", elic.SimpleAttention(dtype=bf16),
-                   (B, H // 4, W // 4, 192),
-                   lambda out: 2 * int(np.prod(out)) * 192 * 2)
+                   (B, H // 4, W // 4, 192), attn_flops(192))
   add_module_stage("conv2_s2", elic._conv(192, 5, 2, dtype=bf16),
                    (B, H // 4, W // 4, 192), conv_flops(5, 192))
   add_rb_chain_stage("rb_chain3", 192, (H // 8, W // 8))
   add_module_stage("conv3_s2", elic._conv(320, 5, 2, dtype=bf16),
                    (B, H // 8, W // 8, 192), conv_flops(5, 192))
   add_module_stage("attn2", elic.SimpleAttention(dtype=bf16),
-                   (B, H // 16, W // 16, 320),
-                   lambda out: 2 * int(np.prod(out)) * 320 * 2)
+                   (B, H // 16, W // 16, 320), attn_flops(320))
   # Hyper-analysis (HyperAnalysis: conv k3s1, k5s2, k5s2 at 320ch).
   from shallow_ntc_tpu.models import transforms as transforms_lib
 
