@@ -25,6 +25,13 @@ flags.DEFINE_enum(
     "the entropy path float, so bitstreams stay interoperable with float "
     "encoders/decoders; only the reconstruction shifts by ~-0.08 dB.",
 )
+flags.DEFINE_integer(
+    "spatial_devices", 1,
+    "Shard the pixel-space transforms (analysis, synthesis) over N devices "
+    "along image height for high-resolution images (XLA inserts the conv "
+    "halo exchanges). Coding tables stay canonical single-device, so "
+    "bitstreams interoperate across settings.",
+)
 
 
 def _load_codec():
@@ -39,7 +46,8 @@ def _load_codec():
     # other's bitstreams bit-for-bit.
     os.environ["SNTC_INT8_DECODE"] = "syn"
   model, params, _ = eval_lib.load_latest_ckpt(FLAGS.workdir, FLAGS.model_family)
-  return codec_api.make_codec(model, params)
+  return codec_api.make_codec(
+      model, params, spatial_devices=FLAGS.spatial_devices)
 
 
 def main(argv):

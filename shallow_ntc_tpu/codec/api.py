@@ -157,13 +157,38 @@ def _equal_shape_chunks(shapes, chunk_size):
   return chunks
 
 
+def _spatial_shardings(spatial_devices: int):
+  """(replicated_params, spatial_image) NamedShardings for the pixel-space
+  transforms of a codec, or (None, None) for the single-device codec.
+
+  Spatial sharding (image height over a 'spatial' mesh axis, XLA inserting
+  the conv halo exchanges) applies ONLY to analysis and synthesis: pixels
+  carry no coding state, so a sharded transform changing low bits at worst
+  rounds an encoder-side symbol differently (a different valid encoding) or
+  flips a reconstruction uint8 by +-1 (the same caveat as the batched
+  synthesis path). The rANS coding tables (mu, scale indexes) keep coming
+  from the canonical single-device batch-1 hyper-synthesis program on BOTH
+  sides -- see MSHyperCodec.hyper_dec's determinism contract -- so
+  bitstreams interoperate across spatial_devices settings.
+  """
+  if spatial_devices <= 1:
+    return None, None
+  from shallow_ntc_tpu.parallel import mesh as mesh_lib
+
+  mesh = mesh_lib.make_mesh(
+      spatial_devices, axis_names=("data", "spatial"),
+      axis_sizes=(1, spatial_devices))
+  return mesh_lib.replicated(mesh), mesh_lib.spatial_sharding(mesh)
+
+
 class MSHyperCodec:
   """Compress/decompress with a trained mean-scale hyperprior model."""
 
-  def __init__(self, model, params):
+  def __init__(self, model, params, spatial_devices: int = 1):
     self.model = model
     self.params = params
     cls = type(model)
+    repl, spatial = _spatial_shardings(spatial_devices)
 
     def analyze(params, x):
       latents = model.apply({"params": params}, x, method=cls.infer_latent_rvs)
@@ -195,10 +220,18 @@ class MSHyperCodec:
       rec = synth(params, y_hat)
       return models_base.floats_to_pixels(rec, training=False).astype(jnp.uint8)
 
-    self._analyze = jax.jit(analyze)
+    if spatial is None:
+      self._analyze = jax.jit(analyze)
+      self._synth = jax.jit(synth)
+      self._synth_u8 = jax.jit(synth_u8)
+    else:
+      # Height-sharded pixel transforms for high-resolution images; the
+      # latents come back fully addressable via device_get as usual.
+      self._analyze = jax.jit(analyze, in_shardings=(repl, spatial))
+      self._synth = jax.jit(synth, in_shardings=(repl, spatial))
+      self._synth_u8 = jax.jit(synth_u8, in_shardings=(repl, spatial))
+    # The coding-table program NEVER shards (determinism contract above).
     self._hyper_dec = jax.jit(hyper_dec)
-    self._synth = jax.jit(synth)
-    self._synth_u8 = jax.jit(synth_u8)
 
     prior = entropy.DeepFactorizedPrior(channels=self._prior_channels())
     prior_params = {"params": params["_prior"]}
@@ -432,10 +465,11 @@ class MSHyperCodec:
 class FactorizedCodec:
   """Compress/decompress with a trained factorized-prior model."""
 
-  def __init__(self, model, params):
+  def __init__(self, model, params, spatial_devices: int = 1):
     self.model = model
     self.params = params
     cls = type(model)
+    repl, spatial = _spatial_shardings(spatial_devices)
 
     def analyze(params, x):
       latents = model.apply({"params": params}, x, method=cls.infer_latent_rvs)
@@ -448,9 +482,16 @@ class FactorizedCodec:
       rec = synth(params, y_hat)
       return models_base.floats_to_pixels(rec, training=False).astype(jnp.uint8)
 
-    self._analyze = jax.jit(analyze)
-    self._synth = jax.jit(synth)
-    self._synth_u8 = jax.jit(synth_u8)
+    if spatial is None:
+      self._analyze = jax.jit(analyze)
+      self._synth = jax.jit(synth)
+      self._synth_u8 = jax.jit(synth_u8)
+    else:
+      # Factorized coding tables are per-channel constants (no per-image
+      # table program), so ALL pixel transforms may shard.
+      self._analyze = jax.jit(analyze, in_shardings=(repl, spatial))
+      self._synth = jax.jit(synth, in_shardings=(repl, spatial))
+      self._synth_u8 = jax.jit(synth_u8, in_shardings=(repl, spatial))
 
     prior = entropy.DeepFactorizedPrior(
         channels=self.params["_prior"]["matrix_0"].shape[0]
@@ -571,13 +612,19 @@ class FactorizedCodec:
     return out
 
 
-def make_codec(model, params):
-  """Codec factory keyed on the model family."""
+def make_codec(model, params, spatial_devices: int = 1):
+  """Codec factory keyed on the model family.
+
+  spatial_devices > 1 runs the pixel-space transforms (analysis, synthesis)
+  height-sharded over a (1, N) device mesh -- the high-resolution inference
+  path (compress.py --spatial_devices). Coding tables stay canonical
+  single-device, so bitstreams interoperate across settings.
+  """
   from shallow_ntc_tpu.models import factorized as factorized_models
   from shallow_ntc_tpu.models import mshyper as mshyper_models
 
   if isinstance(model, mshyper_models.Model):
-    return MSHyperCodec(model, params)
+    return MSHyperCodec(model, params, spatial_devices=spatial_devices)
   if isinstance(model, factorized_models.Model):
-    return FactorizedCodec(model, params)
+    return FactorizedCodec(model, params, spatial_devices=spatial_devices)
   raise TypeError(type(model))

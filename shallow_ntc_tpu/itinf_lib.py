@@ -12,6 +12,7 @@ Optional eval segments restore the reference's mid-run validation cadence
 (itinf_lib.py:69-86).
 """
 
+import functools
 import os
 from typing import Any, Dict, Mapping, NamedTuple, Optional, Tuple
 
@@ -157,7 +158,27 @@ def make_itinf_functions(model, optimizer_config, num_steps: int):
     val_metrics, _ = eval_fn(params, batch, latents, n_steps, offset=offset)
     return latents, bufs, val_metrics
 
-  return init_fn, scan_fn, eval_fn, frozen_offset_fn, run_fn
+  def step_fn(params, batch, latents, opt_state, step, rng, offset,
+              with_metrics=False):
+    """ONE composed SGA step, jitted standalone for the stream-dispatch
+    mode. The same body as the scan's, but compiled outside any lax loop
+    region: measured 2.96 -> 1.91 ms/step (f32, batch-1 Kodak-size) on
+    TPU v5e -- the while-loop region itself costs ~1 ms/step (carry layout
+    pinning / scheduling constraints; scripts/itinf_scan_ab.py pystep vs
+    nometrics, round 5) and unrolling does NOT recover it. with_metrics
+    keeps the log row (dispatched only at log boundaries)."""
+    step_rng = jax.random.fold_in(rng, step)
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        latents, params, batch, step_rng, step, offset
+    )
+    updates, opt_state = tx.update(grads, opt_state, latents)
+    latents = jax.tree_util.tree_map(lambda p, u: p + u, latents, updates)
+    if not with_metrics:
+      return latents, opt_state
+    metrics["scheduled_lr"] = lr_fn(step)
+    return latents, opt_state, metrics
+
+  return init_fn, scan_fn, eval_fn, frozen_offset_fn, run_fn, step_fn
 
 
 class ItinfJit(NamedTuple):
@@ -170,6 +191,38 @@ class ItinfJit(NamedTuple):
                # and threaded into every scan/eval/run call.
   run: Any     # run(params, batch, rng, offset, n_steps, log_every): the
                # fused init->SGA->val program (one dispatch per image).
+  step: Any        # step(params, batch, latents, opt_state, step, rng,
+                   # offset) -> (latents, opt_state): one standalone SGA
+                   # step (stream-dispatch mode).
+  step_logged: Any  # same, + the log-row metrics dict.
+
+  def run_stream(self, params, batch, rng, offset, n_steps, log_every):
+    """The same optimization as `run`, issued as a stream of per-step
+    dispatches from the host (async; ONE fetch at the end, so the tunnel
+    pipelines them). Trades one dispatch per image for a ~1.5x faster
+    step: the standalone step program avoids the lax while-loop region's
+    per-iteration cost (see step_fn's measurement). Identical trajectory
+    -- same step indices, per-step rngs, log boundaries -- so results
+    match `run` up to XLA fusion noise. Returns device handles shaped
+    like `run`'s (latents, log_bufs, val_metrics)."""
+    latents, opt_state = self.init(params, batch)
+    boundaries = set()
+    pos = 0
+    while pos < n_steps:
+      pos = min(pos + log_every, n_steps)
+      boundaries.add(pos - 1)
+    rows = []
+    for i in range(n_steps):
+      if i in boundaries:
+        latents, opt_state, metrics = self.step_logged(
+            params, batch, latents, opt_state, jnp.int32(i), rng, offset)
+        rows.append(metrics)
+      else:
+        latents, opt_state = self.step(
+            params, batch, latents, opt_state, jnp.int32(i), rng, offset)
+    bufs = {k: jnp.stack([r[k] for r in rows]) for k in rows[0]} if rows else {}
+    val_metrics, _ = self.evalf(params, batch, latents, n_steps, offset=offset)
+    return latents, bufs, val_metrics
 
 
 def make_jitted_itinf(model, optimizer_config, num_steps: int):
@@ -180,7 +233,7 @@ def make_jitted_itinf(model, optimizer_config, num_steps: int):
   driver builds this triple once and threads it through every
   itinf_on_data_batch call.
   """
-  init_fn, scan_fn, eval_fn, offset_fn, run_fn = make_itinf_functions(
+  init_fn, scan_fn, eval_fn, offset_fn, run_fn, step_fn = make_itinf_functions(
       model, optimizer_config, num_steps
   )
   init_jit = jax.jit(init_fn)
@@ -191,7 +244,46 @@ def make_jitted_itinf(model, optimizer_config, num_steps: int):
   eval_jit = jax.jit(eval_fn)
   offset_jit = jax.jit(offset_fn)
   run_jit = jax.jit(run_fn, static_argnames=("n_steps", "log_every"))
-  return ItinfJit(init_jit, scan_jit, eval_jit, offset_jit, run_jit)
+  # Stream-mode steps: donate the carry so the 3000-dispatch chain reuses
+  # buffers instead of allocating per step.
+  step_jit = jax.jit(step_fn, donate_argnames=("latents", "opt_state"))
+  step_logged_jit = jax.jit(
+      functools.partial(step_fn, with_metrics=True),
+      donate_argnames=("latents", "opt_state"))
+  return ItinfJit(init_jit, scan_jit, eval_jit, offset_jit, run_jit,
+                  step_jit, step_logged_jit)
+
+
+def _emit_log_rows(writer, start, seg, log_every, picked):
+  """Write fetched on-device log rows; returns the final row as floats.
+
+  Row r holds the metrics of step (r+1)*log_every - 1 relative to `start`
+  (clamped to the segment end), mirroring scan_fn's row contract.
+  """
+  row_steps = [min((r + 1) * log_every, seg)
+               for r in range(-(-seg // log_every))]
+  if writer is not None:
+    for row, s in enumerate(row_steps):
+      writer.write_scalars(
+          start + s, {k: float(v[row]) for k, v in picked.items()}
+      )
+  return {k: float(v[-1]) for k, v in picked.items()}
+
+
+def _use_stream(cfg: Mapping[str, Any], batch) -> bool:
+  """Pick the dispatch shape for the no-mid-eval fast path.
+
+  step_dispatch (train_eval_config): "stream" | "fused" | "auto" (default).
+  auto -> stream for single-image batches, where the measured standalone
+  step is ~1.5x faster than the same body inside a lax loop region
+  (scripts/itinf_scan_ab.py, round 5) and latency is the target; fused for
+  batched throughput runs, whose scan+bf16 path is the measured optimum
+  and which amortize the loop cost over the batch anyway.
+  """
+  mode = cfg.get("step_dispatch", "auto")
+  if mode == "auto":
+    return int(np.shape(batch)[0]) == 1
+  return mode == "stream"
 
 
 def itinf_on_data_batch(
@@ -229,6 +321,11 @@ def itinf_on_data_batch(
 
   fns = (jitted_fns if jitted_fns is not None
          else make_jitted_itinf(model, optimizer_config, num_steps))
+  # Pin the (frozen) params to the device ONCE: checkpoint restore returns
+  # host numpy arrays, and every dispatch that receives host args re-stages
+  # them over the tunnel -- amortized for the one-dispatch fused path but
+  # catastrophic for stream mode (3000 dispatches/image x ~273 MB params).
+  params = jax.device_put(params)
   if offset is None:
     offset = fns.offset(params)
 
@@ -236,24 +333,19 @@ def itinf_on_data_batch(
   batch = jnp.asarray(data_batch)
 
   def emit_rows(start, seg, bufs):
-    """Write the on-device log rows; returns the final row as floats."""
-    picked = jax.device_get(bufs)
-    row_steps = [min((r + 1) * log_every, seg)
-                 for r in range(-(-seg // log_every))]
-    if writer is not None:
-      for row, s in enumerate(row_steps):
-        writer.write_scalars(
-            start + s, {k: float(v[row]) for k, v in picked.items()}
-        )
-    return {k: float(v[-1]) for k, v in picked.items()}
+    return _emit_log_rows(writer, start, seg, log_every, jax.device_get(bufs))
 
   if eval_every >= num_steps:
-    # Fused fast path (the default config): the whole optimization --
-    # analysis init, every SGA step, the final val metrics -- is ONE
-    # jitted call, then one host fetch. This is the single-image
-    # wall-clock path (VERDICT r3 item 1).
-    latents, bufs, val_metrics = fns.run(
-        params, batch, rng, offset, n_steps=num_steps, log_every=log_every)
+    # Fast path (the default config): no mid-run val passes, so the whole
+    # optimization runs without host round-trips and ends in one fetch.
+    # Two dispatch shapes (see _use_stream): the fused ONE-program scan,
+    # or a stream of standalone step dispatches (~1.5x faster step).
+    if _use_stream(cfg, batch):
+      latents, bufs, val_metrics = fns.run_stream(
+          params, batch, rng, offset, n_steps=num_steps, log_every=log_every)
+    else:
+      latents, bufs, val_metrics = fns.run(
+          params, batch, rng, offset, n_steps=num_steps, log_every=log_every)
     last_train_metrics = emit_rows(0, num_steps, bufs)
     last_val_metrics = {
         k: float(v) for k, v in jax.device_get(val_metrics).items()}
@@ -337,24 +429,84 @@ def itinf_eval(
   jitted_fns = make_jitted_itinf(
       model, optimizer_config, te_cfg.get("num_steps", 3000)
   )
-  # The quantization-offset bisection depends only on the frozen params:
-  # once per dataset pass, not once per image.
+  # Pin the frozen params to the device ONCE (restore returns host numpy;
+  # host args re-stage over the tunnel on every dispatch -- see
+  # itinf_on_data_batch). The quantization-offset bisection depends only on
+  # the frozen params: once per dataset pass, not once per image.
+  params = jax.device_put(params)
   offset = jitted_fns.offset(params)
 
+  num_steps = te_cfg.get("num_steps", 3000)
+  log_every = te_cfg.get("log_metrics_every_steps", 100)
+  eval_every = te_cfg.get("eval_every_steps", 200)
   all_metrics = []
-  for batch_id, batch in enumerate(dataset):
+
+  def consume(batch_id, latents, bufs, val_metrics):
+    """Fetch one batch's device results and write its artifacts.
+
+    Called AFTER the next batch's program is already dispatched, so every
+    host-side cost here (the log-buffer fetch wait, the ~2 MB latent fetch,
+    TB writers, metrics.json, itinf_vars.npz) overlaps the device computing
+    the next image -- the ~3.4 s/image fixed cost the round-4 wall-clock
+    attribution found outside the scan (PERF_NOTES "SGA itinf wall-clock").
+    """
     batch_dir = os.path.join(workdir, f"batch_id={batch_id}")
     os.makedirs(batch_dir, exist_ok=True)
-    train_m, val_m, itinf_vars = itinf_on_data_batch(
-        model, params, batch, te_cfg, optimizer_config, workdir=batch_dir,
-        jitted_fns=jitted_fns, offset=offset,
-    )
+    writer = writers_lib.create_default_writer(batch_dir, collection="train")
+    val_writer = writers_lib.create_default_writer(batch_dir, collection="val")
+    train_m = _emit_log_rows(
+        writer, 0, num_steps, log_every, jax.device_get(bufs))
+    val_m = {k: float(v) for k, v in jax.device_get(val_metrics).items()}
+    val_writer.write_scalars(num_steps, val_m)
+    writer.flush()
+    val_writer.flush()
+    itinf_vars = {
+        f"uq_{i}_loc": np.asarray(jax.device_get(rv.loc))
+        for i, rv in enumerate(latents.uq)
+    }
     runname_utils.dump_json(
         {"train": train_m, "val": val_m}, os.path.join(batch_dir, "metrics.json")
     )
     np.savez(os.path.join(batch_dir, "itinf_vars.npz"), **itinf_vars)
     all_metrics.append({"batch_id": batch_id, **(val_m or {})})
     logging.info("itinf batch %d: %s", batch_id, val_m)
+
+  if eval_every >= num_steps:
+    # Pipelined fused path (the default config): batch i+1's one-dispatch
+    # program is enqueued BEFORE batch i's results are fetched and written,
+    # so PNG decode, the tunnel fetch waits and all file writes run while
+    # the device optimizes the next image. Identical math and artifacts to
+    # the sequential path (the per-batch rng does not depend on batch_id);
+    # only the host/device interleaving changes.
+    pending = None
+    for batch_id, batch in enumerate(dataset):
+      run = (jitted_fns.run_stream if _use_stream(te_cfg, batch)
+             else jitted_fns.run)
+      handles = run(
+          params, jnp.asarray(batch), jax.random.PRNGKey(0), offset,
+          n_steps=num_steps, log_every=log_every)
+      if pending is not None:
+        consume(*pending)
+      pending = (batch_id,) + tuple(handles)
+    if pending is not None:
+      consume(*pending)
+  else:
+    # Segmented path (mid-run validation cadence): per-batch host/device
+    # ping-pong is inherent, so run batches sequentially.
+    for batch_id, batch in enumerate(dataset):
+      batch_dir = os.path.join(workdir, f"batch_id={batch_id}")
+      os.makedirs(batch_dir, exist_ok=True)
+      train_m, val_m, itinf_vars = itinf_on_data_batch(
+          model, params, batch, te_cfg, optimizer_config, workdir=batch_dir,
+          jitted_fns=jitted_fns, offset=offset,
+      )
+      runname_utils.dump_json(
+          {"train": train_m, "val": val_m},
+          os.path.join(batch_dir, "metrics.json")
+      )
+      np.savez(os.path.join(batch_dir, "itinf_vars.npz"), **itinf_vars)
+      all_metrics.append({"batch_id": batch_id, **(val_m or {})})
+      logging.info("itinf batch %d: %s", batch_id, val_m)
 
   runname_utils.dump_json(all_metrics, os.path.join(workdir, "metrics.json"))
   return workdir, all_metrics

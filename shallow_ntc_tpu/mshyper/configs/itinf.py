@@ -36,8 +36,17 @@ def get_config():
       # Computation dtype for the frozen transforms inside the SGA scan
       # ("bfloat16" / "float32" / "none"); entropy math and the optimized
       # latents stay f32 either way. bf16 is quality-neutral for SGA
-      # (Delta rd_loss <= 2.2e-4, itinf_dtype_ab/) and measurably faster.
+      # (Delta rd_loss <= 2.2e-4, itinf_dtype_ab/) and faster in the fused
+      # scan; in stream mode (below) f32 measures fastest -- set
+      # transforms_dtype="float32" for minimum single-image latency.
       transforms_dtype="bfloat16",
+      # Dispatch shape for the no-mid-eval fast path: "fused" = the whole
+      # optimization as ONE device program; "stream" = per-step dispatches
+      # (async, one fetch) whose standalone step is ~1.5x faster than the
+      # same body inside a lax loop region (scripts/itinf_scan_ab.py);
+      # "auto" = stream for batchsize 1 (latency), fused otherwise
+      # (throughput).
+      step_dispatch="auto",
   )
 
   config.model_config = dict(

@@ -211,3 +211,98 @@ def test_itinf_fused_matches_segmented(trained_workdir, tmp_path):
     np.testing.assert_allclose(tm_seg[k], tm_fus[k], rtol=1e-3, atol=1e-4)
   for k in vm_seg:
     np.testing.assert_allclose(vm_seg[k], vm_fus[k], rtol=1e-3, atol=1e-4)
+
+
+def test_itinf_stream_matches_fused(trained_workdir):
+  """Stream-dispatch mode (per-step jitted dispatches; the batch-1 default)
+  must produce the same optimization as the fused one-program path: same
+  step indices, per-step rngs and log boundaries, so identical final
+  latents, log rows and val metrics up to XLA fusion noise."""
+  workdir, _ = trained_workdir
+  model, params, config = eval_lib.load_latest_ckpt(
+      workdir, "mshyper",
+      update_model_config=dict(
+          latent_config=dict(uq=dict(method="sga", tau_r=2e-2, tau_ub=0.5, tau_t0=20)),
+          offset_heuristic=False,
+      ),
+  )
+  batch = np.asarray(next(iter(data_lib.SyntheticDataset(1, 64, num_batches=1))))
+  opt_cfg = dict(learning_rate=5e-3, warmup_until=0.0)
+
+  def run(mode):
+    return itinf_lib.itinf_on_data_batch(
+        model, params, batch,
+        train_eval_config=dict(num_steps=50, log_metrics_every_steps=20,
+                               eval_every_steps=50, step_dispatch=mode),
+        optimizer_config=opt_cfg,
+        workdir=None,
+    )
+
+  tm_f, vm_f, vars_f = run("fused")
+  tm_s, vm_s, vars_s = run("stream")
+  for k in vars_f:
+    np.testing.assert_allclose(vars_s[k], vars_f[k], rtol=1e-4, atol=1e-4)
+  for k in tm_f:
+    np.testing.assert_allclose(tm_s[k], tm_f[k], rtol=1e-3, atol=1e-4)
+  for k in vm_f:
+    np.testing.assert_allclose(vm_s[k], vm_f[k], rtol=1e-3, atol=1e-4)
+
+
+def test_itinf_eval_pipelined_driver(trained_workdir, tmp_path):
+  """The pipelined fused-path driver (itinf_lib.itinf_eval dispatches batch
+  i+1 before consuming batch i) must write the same per-batch artifacts as
+  direct itinf_on_data_batch calls on the same data: identical metrics
+  (same program, same rng) and the full metrics.json/itinf_vars.npz layout."""
+  from shallow_ntc_tpu.data import write_png
+
+  workdir, _ = trained_workdir
+  img_dir = tmp_path / "imgs"
+  img_dir.mkdir()
+  rng = np.random.default_rng(7)
+  for i in range(3):
+    write_png(str(img_dir / f"img{i}.png"),
+              rng.integers(0, 256, (64, 64, 3)).astype(np.uint8))
+
+  te_cfg = dict(num_steps=40, log_metrics_every_steps=20,
+                eval_every_steps=40,  # fused -> pipelined driver path
+                warm_start_exp_dir=os.path.dirname(workdir),
+                warm_start_wid=0)
+  opt_cfg = dict(learning_rate=5e-3, warmup_until=0.0)
+  config = dict(
+      model_family="mshyper",
+      data_config=dict(dataset=str(img_dir / "*.png"), batchsize=1,
+                       patchsize=None),
+      train_eval_config=te_cfg,
+      model_config=dict(
+          scheduled_num_steps=40,
+          optimizer_config=opt_cfg,
+          latent_config=dict(
+              uq=dict(method="sga", tau_r=2e-2, tau_ub=0.5, tau_t0=20)),
+          offset_heuristic=False,
+      ),
+  )
+  out_dir, all_metrics = itinf_lib.itinf_eval(
+      config, "mshyper", str(tmp_path / "itinf_exp"), runname="pipelined")
+  assert len(all_metrics) == 3
+  assert [m["batch_id"] for m in all_metrics] == [0, 1, 2]
+
+  # Reference arm: the unpipelined per-batch call on the same data.
+  from shallow_ntc_tpu import data as data_lib_mod
+
+  model, params, _ = eval_lib.load_latest_ckpt(
+      workdir, "mshyper",
+      update_model_config=config["model_config"])
+  dataset = data_lib_mod.get_dataset(str(img_dir / "*.png"), "test", 1, None)
+  for batch_id, batch in enumerate(dataset):
+    _, val_m, itinf_vars = itinf_lib.itinf_on_data_batch(
+        model, params, batch, train_eval_config=te_cfg,
+        optimizer_config=opt_cfg, workdir=None)
+    got = all_metrics[batch_id]
+    for k, v in val_m.items():
+      np.testing.assert_allclose(got[k], v, rtol=1e-4, atol=1e-5, err_msg=k)
+    batch_dir = os.path.join(out_dir, f"batch_id={batch_id}")
+    assert os.path.exists(os.path.join(batch_dir, "metrics.json"))
+    saved = np.load(os.path.join(batch_dir, "itinf_vars.npz"))
+    for k in itinf_vars:
+      np.testing.assert_allclose(saved[k], itinf_vars[k], rtol=1e-4,
+                                 atol=1e-5, err_msg=k)
