@@ -31,11 +31,17 @@ def convert_workdir(workdir: str, out_dir: str) -> str:
 
   warm = cfg["train_eval_config"]["warm_start_exp_dir"]
   # warm_start_exp_dir may be a workdir OR an experiment dir holding wid=*
-  # work units; resolve with the same rules train_lib/eval_lib use.
-  from shallow_ntc_tpu import eval_lib
+  # work units. This converter only needs the training config (for
+  # rd_lambda), not checkpoints, so accept any dir that carries config.json
+  # directly -- find_workdir_by_wid keys the direct-workdir shortcut on
+  # train/checkpoints, which run-artifact dirs restored from git lack.
+  if os.path.isfile(os.path.join(warm, "config.json")):
+    warm_workdir = warm
+  else:
+    from shallow_ntc_tpu import eval_lib
 
-  warm_workdir = eval_lib.find_workdir_by_wid(
-      warm, cfg["train_eval_config"].get("warm_start_wid", 0))
+    warm_workdir = eval_lib.find_workdir_by_wid(
+        warm, cfg["train_eval_config"].get("warm_start_wid", 0))
   with open(os.path.join(warm_workdir, "config.json")) as f:
     train_cfg = json.load(f)
   lmbda = train_cfg["model_config"]["rd_lambda"]
@@ -73,8 +79,17 @@ def main():
           if os.path.isfile(os.path.join(d, "metrics.json"))]
   if not dirs:
     raise SystemExit(f"No itinf workdirs with metrics.json match {args.itinf_glob!r}")
+  failures = 0
   for d in dirs:
-    print("wrote", convert_workdir(d, args.out))
+    try:
+      print("wrote", convert_workdir(d, args.out))
+    except (OSError, KeyError, ValueError) as e:
+      # One unconvertible workdir (e.g. a stale run whose warm-start dir is
+      # gone) must not block converting the rest of the sweep.
+      failures += 1
+      print(f"SKIP {d}: {type(e).__name__}: {e}", file=sys.stderr)
+  if failures == len(dirs):
+    raise SystemExit("every itinf workdir failed to convert")
 
 
 if __name__ == "__main__":
