@@ -96,13 +96,15 @@ case "${1:-}" in
     # hardware.
     STEPS="${2:-300000}"
     T="${3:-28800}"
-    mark "longrun: ${STEPS}-step flagship lmbda=0.01 (timeout ${T}s)"
+    CKPT="${4:-25000}"  # checkpoint cadence; scale down with STEPS so the
+                        # deliberate mid-run kill still lands past a ckpt
+    mark "longrun: ${STEPS}-step flagship lmbda=0.01 (timeout ${T}s, ckpt every ${CKPT})"
     SLURM_JOB_ID=longrun timeout -k 60 "$T" python -m shallow_ntc_tpu.mshyper.train \
       --config shallow_ntc_tpu/mshyper/configs/two_layer_syn_rd.py \
       --config.train_eval_config.num_steps="$STEPS" \
       --config.model_config.scheduled_num_steps="$STEPS" \
-      --config.train_eval_config.checkpoint_every_steps=25000 \
-      --config.train_eval_config.eval_every_steps=50000 \
+      --config.train_eval_config.checkpoint_every_steps="$CKPT" \
+      --config.train_eval_config.eval_every_steps="$STEPS" \
       --config.train_eval_config.log_metrics_every_steps=1000 \
       --experiments_dir ./train_xms_long --matmul_precision default --hid 3 \
       >> "$LOG" 2>&1 || mark "longrun exited rc=$? (resume by rerunning)"
